@@ -1,0 +1,288 @@
+"""Input pipeline.
+
+Replaces the reference's TFDS + clu.deterministic_data pipeline
+(/root/reference/ldm/dataset.py) with a host-local numpy pipeline feeding the
+jit'd train step:
+
+  * train batches carry a `substeps` axis — one host-level `next()` feeds a
+    whole jit(scan) super-step, preserving the reference's dispatch
+    amortization (dataset.py:266) WITHOUT the pmap leading-device axis: the
+    yielded shape is (substeps, per_host_batch, H, W, C); device placement and
+    cross-chip sharding are handled by NamedSharding (parallel.mesh), not by
+    batch dims;
+  * per-host data sharding mirrors `get_read_instruction_for_host`
+    (dataset.py:264-265): each process reads an equal contiguous slice of the
+    example index space;
+  * images stay uint8 end-to-end; dequantize/encode happens on device;
+  * a background thread keeps a small prefetch queue so host epochs overlap
+    device compute.
+
+Sources: TFDS (gated on the package + prepared data being present), a local
+.npz directory, or deterministic synthetic data (tests/benchmarks — the
+hermetic default in environments without dataset access).
+
+Dataset keys supported (parity with dataset.py:65-246): cifar10, cifar10_aug,
+imagenet32 (TFDS `downsampled_imagenet/32x32`), imagenet64, fashion_mnist32,
+plus `synthetic` and `npz:<path>`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArraySource:
+  """In-(host-)memory dataset: uint8 images + integer labels."""
+
+  images: np.ndarray  # (N, H, W, C) uint8
+  labels: np.ndarray  # (N,) int32
+
+  def __post_init__(self):
+    assert self.images.dtype == np.uint8, self.images.dtype
+    assert self.images.ndim == 4
+    self.labels = np.asarray(self.labels, np.int32)
+    assert len(self.labels) == len(self.images)
+
+  def __len__(self):
+    return len(self.images)
+
+  def host_shard(self, process_index: int, process_count: int
+                 ) -> 'ArraySource':
+    """Equal contiguous per-host slice (dataset.py:264-265 semantics)."""
+    n = len(self) // process_count
+    lo = process_index * n
+    return ArraySource(self.images[lo:lo + n], self.labels[lo:lo + n])
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+
+_TFDS_NAMES = {
+    'cifar10': ('cifar10', 'train', 'test'),
+    'cifar10_aug': ('cifar10', 'train', 'test'),
+    'imagenet32': ('downsampled_imagenet/32x32', 'train', 'validation'),
+    'imagenet64': ('downsampled_imagenet/64x64', 'train', 'validation'),
+    'fashion_mnist32': ('fashion_mnist', 'train', 'test'),
+}
+
+
+def _load_tfds(name: str, split: str, data_dir: Optional[str]) -> ArraySource:
+  import tensorflow_datasets as tfds  # gated import
+  builder = tfds.builder(name, data_dir=data_dir)
+  builder.download_and_prepare()
+  ds = tfds.as_numpy(builder.as_dataset(split=split, batch_size=-1))
+  images = np.asarray(ds['image'], np.uint8)
+  labels = np.asarray(ds.get('label', np.zeros(len(images))), np.int32)
+  return ArraySource(images, labels)
+
+
+def _load_npz(path: str, split: str) -> ArraySource:
+  data = np.load(os.path.join(path, f'{split}.npz'))
+  labels = data['labels'] if 'labels' in data else np.zeros(
+      len(data['images']))
+  return ArraySource(np.asarray(data['images'], np.uint8), labels)
+
+
+def _synthetic(seed: int, n: int, image_shape) -> ArraySource:
+  rng = np.random.default_rng(seed)
+  # Low-frequency blobs rather than white noise so losses are non-trivial.
+  h, w, c = image_shape
+  base = rng.integers(0, 256, size=(n, 4, 4, c)).astype(np.float32)
+  images = np.repeat(np.repeat(base, h // 4, axis=1), w // 4, axis=2)
+  images += rng.normal(0, 8, size=(n, h, w, c))
+  labels = rng.integers(0, 10, size=(n,))
+  return ArraySource(np.clip(images, 0, 255).astype(np.uint8), labels)
+
+
+def _postprocess(name: str, src: ArraySource, image_size: int) -> ArraySource:
+  if name == 'fashion_mnist32':
+    # Resize 28 -> image_size and repeat to 3 channels (dataset.py:345-356).
+    import PIL.Image
+    out = np.zeros((len(src), image_size, image_size, 1), np.uint8)
+    for i, img in enumerate(src.images):
+      out[i, :, :, 0] = np.asarray(
+          PIL.Image.fromarray(img[:, :, 0]).resize(
+              (image_size, image_size), PIL.Image.BILINEAR))
+    return ArraySource(np.repeat(out, 3, axis=-1), src.labels)
+  return src
+
+
+def load_source(dataset: str, split: str, *, image_shape=(32, 32, 3),
+                data_dir: Optional[str] = None, synthetic_seed: int = 0,
+                synthetic_examples: int = 4096) -> ArraySource:
+  if dataset == 'synthetic':
+    seed = synthetic_seed if split == 'train' else synthetic_seed + 1
+    n = synthetic_examples if split == 'train' else synthetic_examples // 4
+    return _synthetic(seed, n, image_shape)
+  if dataset.startswith('npz:'):
+    return _load_npz(dataset[len('npz:'):], split)
+  if dataset in _TFDS_NAMES:
+    tfds_name, train_split, eval_split = _TFDS_NAMES[dataset]
+    tfds_split = train_split if split == 'train' else eval_split
+    try:
+      src = _load_tfds(tfds_name, tfds_split, data_dir)
+    except (ImportError, ModuleNotFoundError) as e:
+      raise RuntimeError(
+          f'dataset {dataset!r} needs tensorflow_datasets, which is not '
+          f'installed; use dataset="synthetic" or "npz:<dir>"') from e
+    return _postprocess(dataset, src, image_shape[0])
+  raise ValueError(f'unknown dataset: {dataset!r}')
+
+
+# ---------------------------------------------------------------------------
+# Augmentation (cifar10_aug parity, dataset.py:358-376)
+# ---------------------------------------------------------------------------
+
+
+def augment_batch(rng: np.random.Generator, images: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+  """Random left/right flips and 90-degree rotations; returns (images, aug
+  bit) where the bit feeds the model's `conditioning` input."""
+  n = len(images)
+  out = images.copy()
+  flip = rng.random(n) > 0.5
+  out[flip] = out[flip, :, ::-1]
+  do_rot = rng.random(n) > 0.5
+  ks = rng.integers(1, 4, size=n)
+  for k in (1, 2, 3):
+    sel = do_rot & (ks == k)
+    if sel.any():
+      out[sel] = np.rot90(out[sel], k=k, axes=(1, 2))
+  return out, (flip | do_rot).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Iterators
+# ---------------------------------------------------------------------------
+
+
+def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
+  q: queue.Queue = queue.Queue(maxsize=depth)
+  sentinel = object()
+
+  def worker():
+    for item in gen:
+      q.put(item)
+    q.put(sentinel)
+
+  threading.Thread(target=worker, daemon=True).start()
+  while True:
+    item = q.get()
+    if item is sentinel:
+      return
+    yield item
+
+
+def train_iterator(source: ArraySource, *, batch_size: int, substeps: int,
+                   seed: int, augment: bool = False,
+                   prefetch: bool = True) -> Iterator[dict]:
+  """Infinite shuffled super-batches: each item holds `substeps` optimizer
+  steps of `batch_size` examples (per host)."""
+  rng = np.random.default_rng(seed)
+  chunk = batch_size * substeps
+
+  def gen():
+    order = np.array([], dtype=np.int64)
+    while True:
+      while len(order) < chunk:
+        order = np.concatenate([order, rng.permutation(len(source))])
+      idx, order_rest = order[:chunk], order[chunk:]
+      order = order_rest
+      images = source.images[idx]
+      cond = np.zeros(chunk, np.uint8)
+      if augment:
+        images, cond = augment_batch(rng, images)
+      yield {
+          'images': images.reshape(substeps, batch_size,
+                                   *source.images.shape[1:]),
+          'labels': source.labels[idx].reshape(substeps, batch_size),
+          'conditioning': cond.reshape(substeps, batch_size),
+      }
+
+  return _prefetch(gen()) if prefetch else gen()
+
+
+def eval_iterator(source: ArraySource, *, batch_size: int, seed: int,
+                  prefetch: bool = True) -> Iterator[dict]:
+  """Infinite shuffled eval batches (no substeps axis)."""
+  rng = np.random.default_rng(seed)
+
+  def gen():
+    while True:
+      order = rng.permutation(len(source))
+      for lo in range(0, len(source) - batch_size + 1, batch_size):
+        idx = order[lo:lo + batch_size]
+        yield {
+            'images': source.images[idx],
+            'labels': source.labels[idx],
+            'conditioning': np.zeros(batch_size, np.uint8),
+        }
+
+  return _prefetch(gen()) if prefetch else gen()
+
+
+def one_time_eval_iterator(source: ArraySource, *, batch_size: int
+                           ) -> Iterator[dict]:
+  """Finite, UNSHUFFLED pass over the eval split (dataset.py:379-410); used
+  by every BPD estimator. Trailing remainder examples are dropped, matching
+  the reference's fixed batch_dims behavior."""
+  for lo in range(0, len(source) - batch_size + 1, batch_size):
+    sl = slice(lo, lo + batch_size)
+    yield {
+        'images': source.images[sl],
+        'labels': source.labels[sl],
+        'conditioning': np.zeros(batch_size, np.uint8),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Config-level entry points (parity: dataset.py create_dataset /
+# create_one_time_eval_dataset)
+# ---------------------------------------------------------------------------
+
+
+def _sources_from_config(config, split: str) -> ArraySource:
+  data_cfg = config.data
+  image_shape = (config.model.get('image_size', 32),
+                 config.model.get('image_size', 32),
+                 config.model.get('image_channels', 3))
+  src = load_source(
+      data_cfg.dataset, split,
+      image_shape=image_shape,
+      data_dir=data_cfg.get('data_dir', None),
+      synthetic_seed=data_cfg.get('synthetic_seed', 0),
+      synthetic_examples=data_cfg.get('synthetic_examples', 4096))
+  return src.host_shard(jax.process_index(), jax.process_count())
+
+
+def create_dataset(config, seed: int):
+  """(train_iter, eval_iter) of per-host numpy batches."""
+  train_src = _sources_from_config(config, 'train')
+  eval_src = _sources_from_config(config, 'eval')
+  per_host_train = config.training.batch_size_train // jax.process_count()
+  per_host_eval = config.training.batch_size_eval // jax.process_count()
+  augment = config.data.dataset.endswith('_aug')
+  train_it = train_iterator(
+      train_src, batch_size=per_host_train,
+      substeps=config.training.substeps,
+      seed=seed + jax.process_index(), augment=augment)
+  eval_it = eval_iterator(eval_src, batch_size=per_host_eval,
+                          seed=seed + 7919 + jax.process_index())
+  return train_it, eval_it
+
+
+def create_one_time_eval_dataset(config, batch_size: Optional[int] = None):
+  src = _sources_from_config(config, 'eval')
+  if batch_size is None:
+    batch_size = config.training.batch_size_eval
+  return one_time_eval_iterator(
+      src, batch_size=batch_size // jax.process_count())

@@ -1,0 +1,110 @@
+"""Denoiser UNets.
+
+One module covers both reference variants:
+  * `per_pixel_gamma=False` — the VDM `ScoreUNet`
+    (/root/reference/ldm/model_vdm.py:309-388): scalar gamma_t per example,
+    sinusoidal-embedded into a per-example conditioning vector.
+  * `per_pixel_gamma=True` — the LDM-style UNet
+    (/root/reference/ldm/ldm_unet.py:64-141): full per-pixel gamma map,
+    embedded per pixel and injected as a per-pixel bias in each ResNet block.
+
+Architecture (identical in both): no spatial down/upsampling — `n_layer`
+ResNet blocks at full resolution with a skip stack, a middle
+ResNet-Attn-ResNet sandwich, `n_layer+1` up blocks consuming concat-skips,
+and a zero-init output conv with the residual base measure `eps_pred += z`.
+
+TPU policy: block compute runs in `config.compute_dtype` (bf16 on TPU keeps
+the 3x3 convs on the MXU at full rate); the input `z`, the final residual add
+and the conditioning-embedding trigonometry stay float32. Optional
+`config.remat` checkpoints every ResNet block to trade FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+from mulan_tpu.models.config import ModelConfig
+from mulan_tpu.models.layers import (AttnBlock, GroupNormF32, ResnetBlock,
+                                     base2_fourier_features, maybe_remat,
+                                     timestep_embedding)
+
+
+class UNet(nn.Module):
+  config: ModelConfig
+  per_pixel_gamma: bool = False
+  n_layer: int = -1  # -1 => config.sm_n_layer
+
+  @nn.compact
+  def __call__(self, z, g_t, conditioning, deterministic: bool = True):
+    cfg = self.config
+    dtype = cfg.dtype
+    n_layers = cfg.sm_n_layer if self.n_layer == -1 else self.n_layer
+    n_embd = cfg.sm_n_embd
+
+    z = z.astype(jnp.float32)
+    # Normalize gamma into [0, 1] "time" (reference model_vdm.py:325-327).
+    t = (jnp.asarray(g_t, jnp.float32) - cfg.gamma_min) / (
+        cfg.gamma_max - cfg.gamma_min)
+
+    if self.per_pixel_gamma:
+      # t: (B, H, W, C) -> per-pixel sinusoidal embedding, conditioning
+      # broadcast over space (ldm_unet.py:82-90).
+      b, hgt, wid, c = z.shape
+      assert t.shape == z.shape, (t.shape, z.shape)
+      temb = timestep_embedding(t.reshape(-1), n_embd)
+      temb = temb.reshape(b, hgt, wid, c * n_embd)
+      cond_in = jnp.broadcast_to(
+          conditioning[:, None, None, :].astype(temb.dtype),
+          (b, hgt, wid, conditioning.shape[-1]))
+      cond = jnp.concatenate([temb, cond_in], axis=-1)
+    else:
+      # t: (B,) scalar per example (model_vdm.py:329-338).
+      if t.ndim == 0:
+        t = jnp.full((z.shape[0],), t)
+      temb = timestep_embedding(t, n_embd)
+      cond = jnp.concatenate(
+          [temb, conditioning.astype(temb.dtype)], axis=-1)
+
+    cond = nn.swish(nn.Dense(n_embd * 4, dtype=dtype, name='dense0')(cond))
+    cond = nn.swish(nn.Dense(n_embd * 4, dtype=dtype, name='dense1')(cond))
+
+    if cfg.with_fourier_features:
+      z_f = base2_fourier_features(z, start=6, stop=8)
+      h = jnp.concatenate([z, z_f], axis=-1)
+    else:
+      h = z
+    h = h.astype(dtype)
+
+    h = nn.Conv(n_embd, (3, 3), dtype=dtype, name='conv_in')(h)
+    hs = [h]
+
+    block_cls = maybe_remat(ResnetBlock, cfg.remat)
+
+    def res_block(name, h, out_ch=None):
+      return block_cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
+                       name=name)(h, cond, deterministic)
+
+    for i in range(n_layers):
+      h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)
+      if cfg.with_attention:
+        h = AttnBlock(dtype=dtype, name=f'down_attn_{i}')(h)
+      hs.append(h)
+
+    h = res_block('mid_block_1', hs[-1])
+    h = AttnBlock(dtype=dtype, name='mid_attn_1')(h)
+    h = res_block('mid_block_2', h)
+
+    for i in range(n_layers + 1):
+      h = res_block(f'up_block_{i}',
+                    jnp.concatenate([h, hs.pop()], axis=-1), out_ch=n_embd)
+      if cfg.with_attention:
+        h = AttnBlock(dtype=dtype, name=f'up_attn_{i}')(h)
+    assert not hs
+
+    h = nn.swish(GroupNormF32(dtype=dtype)(h))
+    eps_pred = nn.Conv(z.shape[-1], (3, 3), dtype=dtype,
+                       kernel_init=nn.initializers.zeros,
+                       name='conv_out')(h)
+    # Residual base measure (model_vdm.py:386-388), in float32.
+    return eps_pred.astype(jnp.float32) + z
