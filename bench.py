@@ -1,0 +1,72 @@
+"""Train-step throughput benchmark (run by the driver on real TPU).
+
+Measures optimizer steps/sec/chip for the flagship CIFAR-10 MuLAN-velocity
+configuration (global batch 128, sm_n_embd=128, sm_n_layer=32 — identical
+model/batch to /root/reference/ldm/configs/cifar10-conditioned.py) using the
+jit(scan) super-step exactly as training runs it, with the TPU execution
+policy (bf16 UNet compute, fp32 gamma/ELBO, Pallas decoder kernel).
+
+Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
+denominator used for vs_baseline is an ESTIMATE of the reference's per-chip
+steps/sec on A100 for this config:
+  ~1.8e13 train FLOPs/step (67-block UNet fwd+bwd, batch 128, see SURVEY) at
+  ~35% MFU of A100 TF32 (156 TFLOP/s) => ~3.0 steps/sec... but the reference
+  pins full-fp32 matmuls (main.py:39), which on A100 (19.5 TFLOP/s fp32)
+  caps it at ~0.4 steps/sec. We take the GENEROUS TF32 estimate, 2.0
+  steps/sec/chip, as the baseline so vs_baseline is conservative.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+BASELINE_STEPS_PER_SEC_PER_CHIP = 2.0  # generous A100 estimate, see above
+
+
+def main():
+  import jax
+  import numpy as np
+
+  from mulan_tpu.configs import cifar10_conditioned
+  from mulan_tpu.parallel import mesh as mesh_lib
+  from mulan_tpu.train.loop import Experiment
+
+  substeps = 20
+  config = cifar10_conditioned.get_config()
+  config.data.dataset = 'synthetic'
+  config.data.synthetic_examples = 1024
+  config.training.substeps = substeps
+  config.training.batch_size_train = 128
+  config.training.batch_size_eval = 128
+
+  n_chips = len(jax.devices())
+  exp = Experiment(config)
+  state = exp._put_state(exp.state)
+
+  batch = exp._put_superbatch(next(exp.train_iter))
+  # warmup: compile + one super-step
+  state, _ = exp._p_superstep(state, batch)
+  jax.block_until_ready(state.params)
+
+  iters = 3
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    batch = exp._put_superbatch(next(exp.train_iter))
+    state, metrics = exp._p_superstep(state, batch)
+  jax.block_until_ready(state.params)
+  dt = time.perf_counter() - t0
+
+  assert np.isfinite(float(metrics['bpd'][-1]))
+  steps_per_sec = iters * substeps / dt
+  per_chip = steps_per_sec / n_chips
+  print(json.dumps({
+      'metric': 'cifar10_mulan_velocity_train_steps_per_sec_per_chip',
+      'value': round(per_chip, 4),
+      'unit': 'steps/sec/chip (global batch 128)',
+      'vs_baseline': round(per_chip / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),
+  }))
+
+
+if __name__ == '__main__':
+  main()

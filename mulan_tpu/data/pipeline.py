@@ -69,10 +69,54 @@ class ArraySource:
 _TFDS_NAMES = {
     'cifar10': ('cifar10', 'train', 'test'),
     'cifar10_aug': ('cifar10', 'train', 'test'),
+    'cifar10_aug_with_channel': ('cifar10', 'train', 'test'),
+    'cifar10_splitfreq': ('cifar10', 'train', 'test'),
+    'cifar10_bothfreq': ('cifar10', 'train', 'test'),
+    'cifar10_splitintensity': ('cifar10', 'train', 'test'),
     'imagenet32': ('downsampled_imagenet/32x32', 'train', 'validation'),
+    'imagenet32r': ('imagenet_resized/32x32', 'train', 'validation'),
     'imagenet64': ('downsampled_imagenet/64x64', 'train', 'validation'),
     'fashion_mnist32': ('fashion_mnist', 'train', 'test'),
 }
+
+
+def split_image_freqs(images: np.ndarray, cutoff_frequency: float = 0.06):
+  """Low/high-pass split via gaussian blur (reference dataset.py:29-62).
+
+  Vectorized over the batch with scipy.ndimage instead of per-image
+  tfa.image.gaussian_filter2d; same (sigma, radius) derivation.
+  """
+  import scipy.ndimage
+  h, w = images.shape[1:3]
+  sigma = cutoff_frequency * min(h, w)
+  imgs = images.astype(np.float32)
+  blurred = scipy.ndimage.gaussian_filter(
+      imgs, sigma=(0, sigma, sigma, 0), mode='nearest')
+  blurred = np.clip(blurred, 0, 255).astype(np.uint8)
+  low = blurred
+  high = images - np.minimum(blurred, images)
+  return low, high
+
+
+def _apply_variant(dataset: str, split: str, src: ArraySource
+                   ) -> ArraySource:
+  """Static dataset transforms (dataset.py:324-343 split variants)."""
+  if dataset in ('cifar10_splitfreq', 'cifar10_bothfreq'):
+    low, high = split_image_freqs(src.images)
+    h = src.images.shape[1]
+    if dataset == 'cifar10_splitfreq':
+      images = np.concatenate([low[:, :h // 2], high[:, h // 2:]], axis=1)
+    else:
+      images = np.concatenate([low, high], axis=1)
+    return ArraySource(images, src.labels)
+  if dataset == 'cifar10_splitintensity':
+    h = src.images.shape[1]
+    images = src.images.copy()
+    lo_lbl = src.labels < 5
+    images[lo_lbl, :h // 2] = 127
+    images[~lo_lbl, h // 2:] = 127
+    return ArraySource(images, src.labels)
+  return src
 
 
 def _load_tfds(name: str, split: str, data_dir: Optional[str]) -> ArraySource:
@@ -103,6 +147,18 @@ def _synthetic(seed: int, n: int, image_shape) -> ArraySource:
   return ArraySource(np.clip(images, 0, 255).astype(np.uint8), labels)
 
 
+def _resize_all(src: ArraySource, size: int) -> ArraySource:
+  """Antialiased resize of every image (reference resize=32 preprocessing)."""
+  if src.images.shape[1] == size and src.images.shape[2] == size:
+    return src
+  import PIL.Image
+  out = np.zeros((len(src), size, size, src.images.shape[-1]), np.uint8)
+  for i, img in enumerate(src.images):
+    out[i] = np.asarray(
+        PIL.Image.fromarray(img).resize((size, size), PIL.Image.BILINEAR))
+  return ArraySource(out, src.labels)
+
+
 def _postprocess(name: str, src: ArraySource, image_size: int) -> ArraySource:
   if name == 'fashion_mnist32':
     # Resize 28 -> image_size and repeat to 3 channels (dataset.py:345-356).
@@ -125,6 +181,22 @@ def load_source(dataset: str, split: str, *, image_shape=(32, 32, 3),
     return _synthetic(seed, n, image_shape)
   if dataset.startswith('npz:'):
     return _load_npz(dataset[len('npz:'):], split)
+  if dataset == 'dtd_shapes3d':
+    # Mixture of two TFDS sets, resized, with offset dtd labels
+    # (dataset.py:139-171).
+    dtd = _resize_all(
+        _load_tfds('dtd', 'train' if split == 'train' else 'test',
+                   data_dir), image_shape[0])
+    # shapes3d has no test split (reference dataset.py:161 uses 'train')
+    shapes = _resize_all(_load_tfds('shapes3d', 'train', data_dir),
+                         image_shape[0])
+    n_shape_labels = int(shapes.labels.max()) + 1
+    dtd = ArraySource(dtd.images, dtd.labels + n_shape_labels)
+    rng = np.random.default_rng(0)
+    images = np.concatenate([dtd.images, shapes.images])
+    labels = np.concatenate([dtd.labels, shapes.labels])
+    order = rng.permutation(len(images))
+    return ArraySource(images[order], labels[order])
   if dataset in _TFDS_NAMES:
     tfds_name, train_split, eval_split = _TFDS_NAMES[dataset]
     tfds_split = train_split if split == 'train' else eval_split
@@ -134,7 +206,8 @@ def load_source(dataset: str, split: str, *, image_shape=(32, 32, 3),
       raise RuntimeError(
           f'dataset {dataset!r} needs tensorflow_datasets, which is not '
           f'installed; use dataset="synthetic" or "npz:<dir>"') from e
-    return _postprocess(dataset, src, image_shape[0])
+    src = _postprocess(dataset, src, image_shape[0])
+    return _apply_variant(dataset, split, src)
   raise ValueError(f'unknown dataset: {dataset!r}')
 
 
@@ -143,10 +216,13 @@ def load_source(dataset: str, split: str, *, image_shape=(32, 32, 3),
 # ---------------------------------------------------------------------------
 
 
-def augment_batch(rng: np.random.Generator, images: np.ndarray
+def augment_batch(rng: np.random.Generator, images: np.ndarray,
+                  channel_flip: bool = False
                   ) -> Tuple[np.ndarray, np.ndarray]:
-  """Random left/right flips and 90-degree rotations; returns (images, aug
-  bit) where the bit feeds the model's `conditioning` input."""
+  """Random left/right flips and 90-degree rotations (dataset.py:358-376);
+  with `channel_flip`, additionally a random color-channel permutation
+  (dataset.py:413-440). Returns (images, aug bit) where the bit feeds the
+  model's `conditioning` input."""
   n = len(images)
   out = images.copy()
   flip = rng.random(n) > 0.5
@@ -157,7 +233,13 @@ def augment_batch(rng: np.random.Generator, images: np.ndarray
     sel = do_rot & (ks == k)
     if sel.any():
       out[sel] = np.rot90(out[sel], k=k, axes=(1, 2))
-  return out, (flip | do_rot).astype(np.uint8)
+  aug = flip | do_rot
+  if channel_flip:
+    do_ch = rng.random(n) > 0.5
+    for i in np.where(do_ch)[0]:
+      out[i] = out[i][:, :, rng.permutation(out.shape[-1])]
+    aug = aug | do_ch
+  return out, aug.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +266,7 @@ def _prefetch(gen: Iterator, depth: int = 2) -> Iterator:
 
 def train_iterator(source: ArraySource, *, batch_size: int, substeps: int,
                    seed: int, augment: bool = False,
+                   channel_flip: bool = False,
                    prefetch: bool = True) -> Iterator[dict]:
   """Infinite shuffled super-batches: each item holds `substeps` optimizer
   steps of `batch_size` examples (per host)."""
@@ -200,7 +283,7 @@ def train_iterator(source: ArraySource, *, batch_size: int, substeps: int,
       images = source.images[idx]
       cond = np.zeros(chunk, np.uint8)
       if augment:
-        images, cond = augment_batch(rng, images)
+        images, cond = augment_batch(rng, images, channel_flip=channel_flip)
       yield {
           'images': images.reshape(substeps, batch_size,
                                    *source.images.shape[1:]),
@@ -270,11 +353,13 @@ def create_dataset(config, seed: int):
   eval_src = _sources_from_config(config, 'eval')
   per_host_train = config.training.batch_size_train // jax.process_count()
   per_host_eval = config.training.batch_size_eval // jax.process_count()
-  augment = config.data.dataset.endswith('_aug')
+  augment = '_aug' in config.data.dataset
+  channel_flip = config.data.dataset.endswith('with_channel')
   train_it = train_iterator(
       train_src, batch_size=per_host_train,
       substeps=config.training.substeps,
-      seed=seed + jax.process_index(), augment=augment)
+      seed=seed + jax.process_index(), augment=augment,
+      channel_flip=channel_flip)
   eval_it = eval_iterator(eval_src, batch_size=per_host_eval,
                           seed=seed + 7919 + jax.process_index())
   return train_it, eval_it

@@ -1,0 +1,87 @@
+"""BPD evaluation CLI.
+
+Parity: /root/reference/ldm/eval_bpd.py —
+  python -m mulan_tpu.eval_bpd --config=<config.py> \
+      --checkpoint_directory=<ckpt dir> [--checkpoint=N] \
+      --bpd_eval_method={sparse,dense,ode} [--n_timesteps=128] [--n_is=20]
+      [--num_iters=1] [--hutchinson_type=Rademacher] [--rtol/--atol=1e-5]
+
+All three estimators run on-device over the full mesh; dense and ode are
+multi-chip/multi-host (the reference's dense path is single-GPU and its ode
+path host-loops scipy — BASELINE.md capability deltas).
+"""
+
+import os
+
+os.environ.setdefault('TF_CPP_MIN_LOG_LEVEL', '2')
+
+from absl import app, flags, logging
+import jax
+from ml_collections import config_flags
+
+FLAGS = flags.FLAGS
+config_flags.DEFINE_config_file('config', None, 'Training configuration.',
+                                lock_config=False)
+flags.DEFINE_string('checkpoint_directory', None, 'Checkpoint directory.')
+flags.DEFINE_integer('checkpoint', None, 'Checkpoint step to evaluate '
+                     '(default: latest).')
+flags.DEFINE_string('bpd_eval_method', 'ode',
+                    'sparse / dense / ode BPD estimator.')
+flags.DEFINE_string('log_level', 'info', 'info/warning/error')
+flags.DEFINE_integer('n_timesteps', 128,
+                     'timestep-grid size for dense sampling.')
+flags.DEFINE_integer('n_is', 20, 'Number of importance samples.')
+flags.DEFINE_integer('num_iters', 1, 'Number of passes over the test set.')
+flags.DEFINE_bool('deterministic_noise', False,
+                  'Reuse one Hutchinson draw across the solve.')
+flags.DEFINE_string('hutchinson_type', 'Rademacher',
+                    'Hutchinson noise type: Rademacher/Gaussian.')
+flags.DEFINE_string('dequantization', 'tn', 'tn / uniform dequantization.')
+flags.DEFINE_float('rtol', 1e-5, 'rtol for the ODE solver.')
+flags.DEFINE_float('atol', 1e-5, 'atol for the ODE solver.')
+flags.DEFINE_bool('multiprocess', False,
+                  'Call jax.distributed.initialize() (multi-host TPU).')
+flags.mark_flags_as_required(['config', 'checkpoint_directory'])
+
+
+def main(argv):
+  del argv
+  if FLAGS.multiprocess:
+    jax.distributed.initialize()
+  if jax.process_index() == 0:
+    logging.set_verbosity(FLAGS.log_level)
+  else:
+    logging.set_verbosity('error')
+  logging.warning('=== Start of eval_bpd main() ===')
+  logging.info('JAX devices: %r', jax.devices())
+  logging.info('method=%s rtol=%s atol=%s', FLAGS.bpd_eval_method,
+               FLAGS.rtol, FLAGS.atol)
+
+  from mulan_tpu import evals
+  from mulan_tpu.evals.harness import EvalExperiment
+
+  experiment = EvalExperiment(FLAGS.config, FLAGS.checkpoint_directory,
+                              FLAGS.checkpoint)
+  logging.info('evaluating checkpoint step %d', experiment.checkpoint_step)
+
+  if FLAGS.bpd_eval_method == 'sparse':
+    bpd = evals.eval_bpd_sparse(experiment, FLAGS.config)
+  elif FLAGS.bpd_eval_method == 'dense':
+    bpd = evals.eval_bpd_dense(experiment, FLAGS.config,
+                               n_timesteps=FLAGS.n_timesteps)
+  elif FLAGS.bpd_eval_method == 'ode':
+    bpd = evals.eval_bpd_ode(
+        experiment, FLAGS.config,
+        hutchinson_type=FLAGS.hutchinson_type,
+        dequantization=FLAGS.dequantization,
+        deterministic_noise=FLAGS.deterministic_noise,
+        num_iters=FLAGS.num_iters, num_is=FLAGS.n_is,
+        rtol=FLAGS.rtol, atol=FLAGS.atol)
+  else:
+    raise ValueError(f'unknown --bpd_eval_method: {FLAGS.bpd_eval_method!r}')
+
+  print(f'Test BPD:{bpd} ckpt:{experiment.checkpoint_step}')
+
+
+if __name__ == '__main__':
+  app.run(main)

@@ -1,0 +1,116 @@
+"""Checkpoint-evaluation harness.
+
+Parity: `Experiment_Colab` (/root/reference/ldm/notebook_utils.py:28-154) —
+an Experiment whose parameters are a checkpoint's EMA weights, plus
+conditional / unconditional ancestral sampling helpers and a test-set loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulan_tpu.parallel import mesh as mesh_lib
+from mulan_tpu.train import checkpoint as ckpt_lib
+from mulan_tpu.train.loop import Experiment
+
+
+class EvalExperiment(Experiment):
+  """Experiment bound to a trained checkpoint's EMA parameters."""
+
+  def __init__(self, config, checkpoint_dir: str,
+               checkpoint_num: Optional[int] = None, mesh=None):
+    super().__init__(config, mesh=mesh)
+    mngr = ckpt_lib.CheckpointManager(checkpoint_dir)
+    restored = mngr.restore_dict(checkpoint_num)
+    ema = flax.serialization.from_state_dict(self.state.params,
+                                             restored['ema_params'])
+    ema = jax.device_put(ema, self._replicated)
+    # Both live and EMA slots hold the checkpoint's EMA weights, matching
+    # the reference's orig_params/params aliasing (notebook_utils.py:37-39).
+    self.state = self.state.replace(params=ema, ema_params=ema)
+    self.checkpoint_step = int(np.asarray(restored['step']))
+
+  @property
+  def params(self):
+    return self.state.ema_params
+
+  # -- sampling --------------------------------------------------------------
+
+  def conditional_samples(self, embedding, batch_size: int = 16,
+                          T: int = 1000, rng=None):
+    """Ancestral samples conditioned on one fixed latent embedding
+    (notebook_utils.py:90-124)."""
+    if rng is None:
+      rng = self._sample_rng
+    embedding = jnp.asarray(embedding)
+    assert embedding.ndim == 1
+
+    @jax.jit
+    def draw(params, embedding, rng):
+      emb = jnp.tile(embedding[None], (batch_size, 1))
+      conditioning = jnp.zeros((batch_size,), 'uint8')
+      rng, prior_rng = jax.random.split(rng)
+      z_init = jax.random.normal(
+          prior_rng, (batch_size, *self.model_config.image_shape))
+
+      def body(i, z_t):
+        return self.model.apply(
+            {'params': params}, i, T, z_t, emb, conditioning, rng,
+            method=self.model.conditional_sample)
+
+      z_0 = jax.lax.fori_loop(0, T, body, z_init)
+      return self.model.apply({'params': params}, z_0,
+                              method=self.model.generate_x)
+
+    return np.asarray(jax.device_get(
+        draw(self.params, embedding, rng))).astype(np.uint8)
+
+  def random_samples(self, batch_size: int = 16, T: int = 1000, rng=None):
+    """Ancestral samples with random hard top-k embeddings per example
+    (notebook_utils.py:56-87)."""
+    from mulan_tpu.models import latents
+    if rng is None:
+      rng = self._sample_rng
+    cfg = self.model_config
+
+    @jax.jit
+    def draw(params, rng):
+      rng, emb_rng, prior_rng = jax.random.split(rng, 3)
+      emb = latents.logits_to_embeddings(
+          jax.random.normal(emb_rng, (batch_size, cfg.latent_size)),
+          cfg.latent_k)
+      conditioning = jnp.zeros((batch_size,), 'uint8')
+      z_init = jax.random.normal(prior_rng,
+                                 (batch_size, *cfg.image_shape))
+
+      def body(i, z_t):
+        return self.model.apply(
+            {'params': params}, i, T, z_t, emb, conditioning, rng,
+            method=self.model.conditional_sample)
+
+      z_0 = jax.lax.fori_loop(0, T, body, z_init)
+      return self.model.apply({'params': params}, z_0,
+                              method=self.model.generate_x)
+
+    return np.asarray(jax.device_get(draw(self.params, rng))).astype(
+        np.uint8)
+
+  # -- test loop ---------------------------------------------------------------
+
+  def test(self, loader):
+    """Average eval scalars over a finite loader
+    (notebook_utils.py:138-154)."""
+    all_scalars = []
+    for idx, batch in enumerate(loader):
+      scalars = self._p_eval_step(self.params, self._put_batch(batch),
+                                  jnp.int32(idx))
+      all_scalars.append(jax.tree.map(float, scalars))
+    return {
+        'eval_' + k: float(np.mean([s[k] for s in all_scalars]))
+        for k in all_scalars[0]
+    }

@@ -1,0 +1,223 @@
+"""Exact NLL via the probability-flow ODE — fully on device.
+
+Parity: /root/reference/ldm/notebook_utils.py:194-531 (`get_ode_likelihood_fn`,
+`eval_bpd_ode`, `get_sample_fn`, `_get_bpd_offset`), with the architecture
+inverted: the reference runs scipy RK45 on the HOST in float64 and pays a
+host<->device round-trip per RHS evaluation plus a pmap dispatch; here the
+entire likelihood — dequantization, encoder, Hutchinson divergence, adaptive
+Dormand-Prince solve, prior logp, importance weighting — is one jit'd XLA
+program per (batch, IS-sample), shardable over the mesh, multi-host capable.
+
+Numerics vs the reference:
+  * state is float32 with the drift's `high_precision=True` log-domain guards
+    enabled by default (reference model_mulan_velocity.py:410-416); the
+    tolerance defaults (rtol=atol=1e-5) match eval_bpd.py:29-30;
+  * divergence via FORWARD-mode jvp: div ~= eps^T (df/dx) eps. The reference
+    computes the same estimator with reverse-mode (grad of sum(f*eps),
+    notebook_utils.py:204-216) — identical value, but jvp needs no backward
+    pass;
+  * Hutchinson noise is drawn once per solve (the reference's
+    `--deterministic_noise` mode). Redrawing per RHS evaluation makes the
+    RHS non-deterministic, which an adaptive controller on device would see
+    as stiffness; across `num_is` importance samples each solve gets fresh
+    noise, so the trace estimator stays unbiased with variance averaging.
+  * the truncated-normal dequantization constants (Z = 0.9974613 from
+    Eqn. 28 of openreview jVR2fF8x8x; the -0.01522 single-sample offset)
+    are kept verbatim; the reference hard-codes gt = -13.3 where this code
+    uses config.gamma_min (equal for the shipped configs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+from absl import logging
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulan_tpu import data as data_lib
+from mulan_tpu.models import latents
+from mulan_tpu.ops.ode import odeint_dopri5
+from mulan_tpu.parallel import mesh as mesh_lib
+
+_TN_LOG_Z = np.log(0.9974613)  # normalizer of TN(-3, 3)
+
+
+def _prior_logp(z):
+  n = np.prod(z.shape[1:])
+  return (-0.5 * n * jnp.log(2 * jnp.pi)
+          - 0.5 * jnp.sum(z ** 2, axis=tuple(range(1, z.ndim))))
+
+
+def _hutchinson_noise(rng, shape, kind: str):
+  if kind == 'Gaussian':
+    return jax.random.normal(rng, shape)
+  if kind == 'Rademacher':
+    return (2 * jax.random.randint(rng, shape, 0, 2) - 1).astype(jnp.float32)
+  raise ValueError(f'unknown hutchinson_type: {kind!r}')
+
+
+def bpd_offset(dequantization: str, num_is: int,
+               gamma_min: float = -13.3) -> float:
+  """Constant BPD offset per dequantization scheme
+  (notebook_utils.py:446-458)."""
+  if dequantization == 'uniform':
+    return float(np.log2(128.0))
+  if dequantization == 'tn':
+    log_sigma = 0.5 * (gamma_min - np.logaddexp(0.0, gamma_min))
+    extra = 0.0
+    if num_is == 1:
+      extra = 0.5 * (1 + np.log(2 * np.pi)) - 0.01522
+    return float(-(extra + log_sigma) / np.log(2.0))
+  raise ValueError(f'unknown dequantization: {dequantization!r}')
+
+
+def make_ode_likelihood_fn(model, model_config, *,
+                           hutchinson_type: str = 'Rademacher',
+                           rtol: float = 1e-5, atol: float = 1e-5,
+                           dequantization: str = 'tn',
+                           high_precision: bool = True,
+                           max_steps: int = 5000):
+  """Returns jit-able likelihood(params, rng, images) ->
+  (log_p, log_q_eps, aux_latent_loss), each (B,).
+
+  log_q_eps is 0 for uniform dequantization (the IS correction is then the
+  constant offset instead, reference notebook_utils.py:322-326, 446-449).
+  """
+  cfg = model_config
+  d = cfg.n_pixels
+
+  def likelihood(params, rng, images):
+    images = images.reshape(-1, *cfg.image_shape).astype(jnp.float32)
+    b = images.shape[0]
+    rng, deq_rng, hutch_rng = jax.random.split(rng, 3)
+
+    data = 2 * ((jnp.round(images) + 0.5) / cfg.vocab_size) - 1
+    if dequantization == 'uniform':
+      u = (jax.random.uniform(deq_rng, data.shape) - 0.5) * 2 / cfg.vocab_size
+      log_q_eps = jnp.zeros((b,))
+    elif dequantization == 'tn':
+      u = jax.random.truncated_normal(deq_rng, lower=-3, upper=3,
+                                      shape=data.shape)
+      log_q_eps = _prior_logp(u) - d * _TN_LOG_Z
+      u = u * jnp.exp(0.5 * cfg.gamma_min)
+    else:
+      raise ValueError(f'unknown dequantization: {dequantization!r}')
+    data = data + u
+
+    # Latent inference on the requantized dequantized image
+    # (notebook_utils.py:341-344).
+    requant = jnp.round(jnp.clip(
+        (cfg.vocab_size / 2) * (data + 1) - 0.5, 0, cfg.vocab_size - 1))
+    logits = model.apply({'params': params}, requant,
+                         method=model.apply_encoder)
+    aux_latent_loss = latents.gumbel_kl(logits, cfg.latent_size)
+    embeddings = latents.logits_to_embeddings(logits, cfg.latent_k)
+
+    eps = _hutchinson_noise(hutch_rng, data.shape, hutchinson_type)
+
+    def drift_fn(t, x):
+      return model.apply({'params': params}, x, embeddings, t,
+                         high_precision, method=model.reverse_ode)
+
+    def ode_func(t, y):
+      x = y[:b * d].reshape(data.shape)
+      fx, jvp_out = jax.jvp(lambda xx: drift_fn(t, xx), (x,), (eps,))
+      div = jnp.sum(jvp_out * eps, axis=tuple(range(1, data.ndim)))
+      return jnp.concatenate([fx.reshape(-1), div])
+
+    y0 = jnp.concatenate([data.reshape(-1), jnp.zeros((b,))])
+    sol = odeint_dopri5(ode_func, y0, 0.0, 1.0, rtol=rtol, atol=atol,
+                        max_steps=max_steps)
+    z1 = sol.y[:b * d].reshape(data.shape)
+    delta_logp = sol.y[b * d:]
+    log_p = _prior_logp(z1) + delta_logp
+    return log_p, log_q_eps, aux_latent_loss
+
+  return likelihood
+
+
+def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
+                 dequantization: str = 'tn', num_is: int = 1,
+                 num_iters: int = 1, rtol: float = 1e-5, atol: float = 1e-5,
+                 deterministic_noise: bool = False, params=None,
+                 batch_size: Optional[int] = None,
+                 max_batches: Optional[int] = None,
+                 high_precision: bool = True) -> float:
+  """Importance-weighted exact-NLL BPD over the eval split
+  (notebook_utils.py:461-531). `deterministic_noise` reuses one Hutchinson
+  draw across IS samples (reference flag); noise is always fixed within a
+  solve (see module docstring)."""
+  del deterministic_noise  # within-solve noise is always fixed on device
+  model = experiment.model
+  cfg = experiment.model_config
+  if params is None:
+    params = experiment.state.ema_params
+  likelihood = make_ode_likelihood_fn(
+      model, cfg, hutchinson_type=hutchinson_type, rtol=rtol, atol=atol,
+      dequantization=dequantization, high_precision=high_precision)
+  likelihood = jax.jit(likelihood)
+  offset = bpd_offset(dequantization, num_is, cfg.gamma_min)
+  sharding = mesh_lib.batch_sharding(experiment.mesh)
+
+  iter_means = []
+  rng = jax.random.PRNGKey(0)
+  for it in range(num_iters):
+    rng, iter_rng = jax.random.split(rng)
+    loader = data_lib.create_one_time_eval_dataset(config, batch_size)
+    bpds = []
+    for bi, batch in enumerate(loader):
+      if max_batches is not None and bi >= max_batches:
+        break
+      images = jax.device_put(batch['images'], sharding)
+      log_ps, log_qs = [], []
+      aux = None
+      for _ in range(num_is):
+        iter_rng, is_rng = jax.random.split(iter_rng)
+        log_p, log_q, aux = likelihood(params, is_rng, images)
+        log_ps.append(log_p)
+        log_qs.append(log_q)
+      log_ps = jnp.stack(log_ps)
+      log_qs = jnp.stack(log_qs)
+      if num_is == 1:
+        iws = log_ps[0]
+      else:
+        iws = jax.scipy.special.logsumexp(
+            log_ps - log_qs, axis=0) - jnp.log(num_is)
+      bpd = float(jnp.mean(-iws + aux) / (cfg.n_pixels * np.log(2.0))
+                  + offset)
+      bpds.append(bpd)
+      logging.info('ode eval batch %d: cum bpd %.4f', bi, np.mean(bpds))
+    iter_means.append(float(np.mean(bpds)))
+    logging.info('[iter %d] test bpd: %.4f', it, iter_means[-1])
+  return float(np.mean(iter_means))
+
+
+def make_ode_sample_fn(model, model_config, *, rtol: float = 1e-5,
+                       atol: float = 1e-5, high_precision: bool = True,
+                       max_steps: int = 5000):
+  """Probability-flow sampler: solve the reverse ODE 1 -> 0 from the prior
+  with random hard top-k embeddings (notebook_utils.py:376-443)."""
+  cfg = model_config
+
+  def sample(params, rng, sample_size: int):
+    rng, logits_rng, prior_rng = jax.random.split(rng, 3)
+    embeddings = latents.logits_to_embeddings(
+        jax.random.normal(logits_rng, (sample_size, cfg.latent_size)),
+        cfg.latent_k)
+    shape = (sample_size, *cfg.image_shape)
+
+    def ode_func(t, y):
+      x = y.reshape(shape)
+      return model.apply({'params': params}, x, embeddings, t,
+                         high_precision,
+                         method=model.reverse_ode).reshape(-1)
+
+    prior = jax.random.normal(prior_rng, shape)
+    sol = odeint_dopri5(ode_func, prior.reshape(-1), 1.0, 0.0,
+                        rtol=rtol, atol=atol, max_steps=max_steps)
+    return sol.y.reshape(shape), sol.nfe
+
+  return sample

@@ -28,6 +28,9 @@ flags.DEFINE_string('model', 'vdm', 'vdm')
 flags.DEFINE_string('log_level', 'info', 'info/warning/error')
 flags.DEFINE_bool('multiprocess', False,
                   'Call jax.distributed.initialize() (multi-host TPU).')
+flags.DEFINE_bool('jax_debug_nans', False,
+                  'Error on NaN production (debug config, SURVEY section 5).')
+flags.DEFINE_bool('jax_disable_jit', False, 'Run op-by-op for debugging.')
 flags.mark_flags_as_required(['config', 'workdir'])
 
 
@@ -44,6 +47,10 @@ def main(argv):
                jax.process_count())
   logging.info('JAX devices: %r', jax.devices())
 
+  if FLAGS.jax_debug_nans:
+    jax.config.update('jax_debug_nans', True)
+  if FLAGS.jax_disable_jit:
+    jax.config.update('jax_disable_jit', True)
   if FLAGS.config.model.get('compute_dtype', 'float32') == 'float32':
     # Reference pins fp32 matmuls (main.py:39); with bf16 compute the
     # ModelConfig dtype policy governs precision instead.

@@ -102,4 +102,8 @@ class EncDec:
     return decode_logits(z, g_0, self.config.vocab_size)
 
   def logprob(self, x, z, g_0):
+    if self.config.use_pallas:
+      from mulan_tpu.ops.decoder_logprob import decoder_logprob
+      return decoder_logprob(jnp.asarray(x, jnp.float32), z, g_0,
+                             self.config.vocab_size)
     return logprob(x, z, g_0, self.config.vocab_size)

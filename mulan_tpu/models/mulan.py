@@ -126,15 +126,27 @@ class MuLAN(nn.Module):
 
   def __call__(self, images, labels, conditioning, step,
                deterministic: bool = True):
-    cfg = self.config
-    x = images.reshape(-1, *cfg.image_shape)
-    n = x.shape[0]
-
+    n = images.reshape(-1, *self.config.image_shape).shape[0]
     t = sample_times(self.make_rng('sample'), n,
-                     cfg.antithetic_time_sampling)
-    T = cfg.sm_n_timesteps
+                     self.config.antithetic_time_sampling)
+    T = self.config.sm_n_timesteps
     if T > 0:
       t = jnp.ceil(t * T) / T
+    return self.elbo(images, labels, conditioning, step, t, deterministic)
+
+  def elbo(self, images, labels, conditioning, step, t,
+           deterministic: bool = True):
+    """ELBO at EXPLICIT diffusion times t (B,).
+
+    `__call__` samples t and delegates here; the dense-VLB evaluator calls
+    this directly with a stratified t-grid (the reference reaches the same
+    effect implicitly by tiling one image n_timesteps times and relying on
+    antithetic sampling, notebook_utils.py:176-191 — that trick breaks for
+    multi-image batches, so the grid is explicit here).
+    """
+    cfg = self.config
+    x = images.reshape(-1, *cfg.image_shape)
+    T = cfg.sm_n_timesteps
 
     orig_f = self.encdec.encode(x)
     if cfg.reparam_type == 'true':

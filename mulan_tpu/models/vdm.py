@@ -48,10 +48,21 @@ class VDM(nn.Module):
 
   def __call__(self, images, labels, conditioning, step,
                deterministic: bool = True):
+    n = images.reshape(-1, *self.config.image_shape).shape[0]
+    t = sample_times(self.make_rng('sample'), n,
+                     self.config.antithetic_time_sampling)
+    T = self.config.sm_n_timesteps
+    if T > 0:
+      t = jnp.ceil(t * T) / T
+    return self.elbo(images, labels, conditioning, step, t, deterministic)
+
+  def elbo(self, images, labels, conditioning, step, t,
+           deterministic: bool = True):
+    """ELBO at explicit diffusion times t (B,); see MuLAN.elbo."""
     del labels, step
     cfg = self.config
     x = images.reshape(-1, *cfg.image_shape)
-    n = x.shape[0]
+    T = cfg.sm_n_timesteps
 
     g_0 = self.gamma(jnp.zeros((1,)))[0]
     g_1 = self.gamma(jnp.ones((1,)))[0]
@@ -70,12 +81,6 @@ class VDM(nn.Module):
                              axis=(1, 2, 3))
 
     # 3. diffusion loss.
-    t = sample_times(self.make_rng('sample'), n,
-                     cfg.antithetic_time_sampling)
-    T = cfg.sm_n_timesteps
-    if T > 0:
-      t = jnp.ceil(t * T) / T
-
     g_t, g_t_grad = self.gamma.gamma_and_dgamma(t)
     var_t = nn.sigmoid(g_t)[:, None, None, None]
     eps = jax.random.normal(self.make_rng('sample'), f.shape)

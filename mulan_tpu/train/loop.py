@@ -203,11 +203,21 @@ class Experiment:
     step = initial_step
     substeps = config.substeps
     last_t = time.time()
+    # Profiling hook (reference experiment.py:230-232 clu Profile): capture
+    # an XProf trace of the 2nd super-step on process 0.
+    profile_at = initial_step + substeps if (
+        config.get('profile', False) and jax.process_index() == 0) else None
     while step < config.num_steps_train:
       is_last = step + substeps >= config.num_steps_train
+      if profile_at is not None and step == profile_at:
+        jax.profiler.start_trace(os.path.join(workdir, 'profile'))
       with jax.profiler.StepTraceAnnotation('train', step_num=step):
         batch = self._put_superbatch(next(self.train_iter))
         state, train_metrics = self._p_superstep(state, batch)
+      if profile_at is not None and step == profile_at:
+        jax.block_until_ready(train_metrics)
+        jax.profiler.stop_trace()
+        profile_at = None
 
       new_step = int(state.step)
       assert new_step == step + substeps, (new_step, step, substeps)

@@ -1,0 +1,108 @@
+"""Input-pipeline tests: sources, variants, augmentation, iterators."""
+
+import numpy as np
+import pytest
+
+from mulan_tpu.data import pipeline
+
+
+@pytest.fixture
+def src():
+  return pipeline._synthetic(0, 64, (8, 8, 3))
+
+
+def test_synthetic_source_deterministic():
+  a = pipeline._synthetic(0, 16, (8, 8, 3))
+  b = pipeline._synthetic(0, 16, (8, 8, 3))
+  np.testing.assert_array_equal(a.images, b.images)
+  assert a.images.dtype == np.uint8
+
+
+def test_host_shard_partition(src):
+  shards = [src.host_shard(i, 4) for i in range(4)]
+  assert all(len(s) == 16 for s in shards)
+  reassembled = np.concatenate([s.images for s in shards])
+  np.testing.assert_array_equal(reassembled, src.images)
+
+
+def test_train_iterator_shapes_and_substeps(src):
+  it = pipeline.train_iterator(src, batch_size=4, substeps=3, seed=0,
+                               prefetch=False)
+  batch = next(it)
+  assert batch['images'].shape == (3, 4, 8, 8, 3)
+  assert batch['labels'].shape == (3, 4)
+  assert batch['conditioning'].shape == (3, 4)
+  assert batch['images'].dtype == np.uint8
+
+
+def test_train_iterator_epoch_coverage(src):
+  """Within one epoch every example appears exactly once."""
+  it = pipeline.train_iterator(src, batch_size=8, substeps=4, seed=0,
+                               prefetch=False)
+  seen = []
+  for _ in range(2):  # 2 * 32 = 64 = one epoch
+    seen.append(next(it)['images'].reshape(-1, 8, 8, 3))
+  seen = np.concatenate(seen)
+  assert len(seen) == len(src)
+  # multiset equality via sorted byte hash
+  h1 = sorted(x.tobytes() for x in seen)
+  h2 = sorted(x.tobytes() for x in src.images)
+  assert h1 == h2
+
+
+def test_one_time_eval_is_ordered_and_finite(src):
+  batches = list(pipeline.one_time_eval_iterator(src, batch_size=8))
+  assert len(batches) == 8
+  np.testing.assert_array_equal(batches[0]['images'], src.images[:8])
+
+
+def test_augment_batch_preserves_pixels(src):
+  rng = np.random.default_rng(0)
+  out, cond = pipeline.augment_batch(rng, src.images)
+  assert out.shape == src.images.shape
+  assert cond.shape == (len(src),)
+  assert set(np.unique(cond)) <= {0, 1}
+  # flips/rotations preserve the pixel multiset per image
+  for i in range(8):
+    assert sorted(out[i].ravel()) == sorted(src.images[i].ravel())
+
+
+def test_augment_channel_flip(src):
+  rng = np.random.default_rng(0)
+  out, cond = pipeline.augment_batch(rng, src.images, channel_flip=True)
+  assert out.shape == src.images.shape
+
+
+def test_split_image_freqs(src):
+  low, high = pipeline.split_image_freqs(src.images)
+  assert low.shape == high.shape == src.images.shape
+  assert low.dtype == high.dtype == np.uint8
+  # low-pass has lower spatial variance than the original
+  orig_var = np.var(np.diff(src.images.astype(float), axis=1))
+  low_var = np.var(np.diff(low.astype(float), axis=1))
+  assert low_var < orig_var
+
+
+def test_variant_splitintensity(src):
+  out = pipeline._apply_variant('cifar10_splitintensity', 'train', src)
+  lo = src.labels < 5
+  assert (out.images[lo, :4] == 127).all()
+  assert (out.images[~lo, 4:] == 127).all()
+
+
+def test_variant_splitfreq_and_bothfreq(src):
+  out = pipeline._apply_variant('cifar10_splitfreq', 'train', src)
+  assert out.images.shape == src.images.shape
+  both = pipeline._apply_variant('cifar10_bothfreq', 'train', src)
+  assert both.images.shape == (len(src), 16, 8, 3)
+
+
+def test_tfds_gated_error_message():
+  with pytest.raises((RuntimeError, ModuleNotFoundError, ImportError)):
+    pipeline.load_source('cifar10', 'train')
+
+
+def test_npz_roundtrip(tmp_path, src):
+  np.savez(tmp_path / 'train.npz', images=src.images, labels=src.labels)
+  loaded = pipeline.load_source(f'npz:{tmp_path}', 'train')
+  np.testing.assert_array_equal(loaded.images, src.images)

@@ -1,0 +1,153 @@
+"""Likelihood-evaluation suite tests: sparse/dense VLB, exact-NLL ODE."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy import integrate
+
+from mulan_tpu import evals
+from mulan_tpu.configs import tiny_synthetic
+from mulan_tpu.evals.nll_ode import bpd_offset, make_ode_likelihood_fn
+from mulan_tpu.models import build_model
+from mulan_tpu.ops.ode import odeint_dopri5
+
+
+@pytest.fixture(scope='module')
+def trained_tiny(tmp_path_factory):
+  """A tiny experiment trained for 4 steps with a saved checkpoint."""
+  from mulan_tpu.train.loop import Experiment
+  config = tiny_synthetic.get_config()
+  workdir = str(tmp_path_factory.mktemp('run'))
+  exp = Experiment(config)
+  exp.train_and_evaluate(workdir)
+  return exp, config, workdir
+
+
+def test_sparse_vlb(trained_tiny):
+  exp, config, _ = trained_tiny
+  bpd = evals.eval_bpd_sparse(exp, config, max_batches=2)
+  assert np.isfinite(bpd) and 0 < bpd < 50
+
+
+def test_dense_vlb_multi_image(trained_tiny):
+  exp, config, _ = trained_tiny
+  bpd = evals.eval_bpd_dense(exp, config, n_timesteps=8, max_batches=2)
+  assert np.isfinite(bpd) and 0 < bpd < 50
+
+
+def test_dense_and_sparse_estimate_same_elbo(trained_tiny):
+  """Dense (stratified grid) and sparse (MC) estimate the same quantity;
+  with enough samples they agree to sub-bpd tolerance."""
+  exp, config, _ = trained_tiny
+  sparse = np.mean([
+      evals.eval_bpd_sparse(exp, config, max_batches=8)
+  ])
+  dense = evals.eval_bpd_dense(exp, config, n_timesteps=16, max_batches=4)
+  assert abs(sparse - dense) < 1.0, (sparse, dense)
+
+
+def test_ode_nll_runs_and_is_finite(trained_tiny):
+  exp, config, _ = trained_tiny
+  bpd = evals.eval_bpd_ode(exp, config, num_is=2, max_batches=1,
+                           rtol=1e-3, atol=1e-3)
+  assert np.isfinite(bpd)
+
+
+def test_ode_uniform_dequantization(trained_tiny):
+  exp, config, _ = trained_tiny
+  bpd = evals.eval_bpd_ode(exp, config, dequantization='uniform', num_is=1,
+                           max_batches=1, rtol=1e-3, atol=1e-3)
+  assert np.isfinite(bpd)
+
+
+def test_ode_drift_solve_matches_scipy(trained_tiny, rng):
+  """The on-device fp32 DoPri5 solve of the model's [z, logp] ODE agrees
+  with the reference architecture (host scipy RK45 float64 on the same
+  drift) — the solver-parity 'hard part' from SURVEY.md section 7."""
+  exp, _, _ = trained_tiny
+  model, cfg = exp.model, exp.model_config
+  params = exp.state.ema_params
+
+  b = 2
+  r1, r2, r3 = jax.random.split(rng, 3)
+  data = jax.random.uniform(r1, (b, *cfg.image_shape), minval=-1, maxval=1)
+  from mulan_tpu.models import latents
+  embeddings = latents.logits_to_embeddings(
+      jax.random.normal(r2, (b, cfg.latent_size)), cfg.latent_k)
+  eps = (2 * jax.random.randint(r3, data.shape, 0, 2) - 1).astype(
+      jnp.float32)
+  d = cfg.n_pixels
+
+  def ode_func(t, y):
+    x = jnp.asarray(y[:b * d], jnp.float32).reshape(data.shape)
+
+    def drift(xx):
+      return model.apply({'params': params}, xx, embeddings, t, True,
+                         method=model.reverse_ode)
+
+    fx, jvp_out = jax.jvp(drift, (x,), (eps,))
+    div = jnp.sum(jvp_out * eps, axis=(1, 2, 3))
+    return jnp.concatenate([fx.reshape(-1), div])
+
+  y0 = jnp.concatenate([data.reshape(-1), jnp.zeros((b,))])
+
+  # host-side scipy in float64 (reference notebook_utils.py:350-361)
+  f_jit = jax.jit(ode_func)
+  ref = integrate.solve_ivp(
+      lambda t, y: np.asarray(f_jit(t, jnp.asarray(y, jnp.float32)),
+                              np.float64),
+      (0, 1), np.asarray(y0, np.float64), rtol=1e-5, atol=1e-5,
+      method='RK45')
+  ref_y = ref.y[:, -1]
+
+  sol = odeint_dopri5(ode_func, y0, 0.0, 1.0, rtol=1e-5, atol=1e-5)
+  assert bool(sol.success)
+  got = np.asarray(sol.y)
+
+  # final latents agree elementwise; delta_logp agrees to ODE tolerance
+  np.testing.assert_allclose(got[:b * d], ref_y[:b * d], rtol=1e-2,
+                             atol=2e-3)
+  np.testing.assert_allclose(got[b * d:], ref_y[b * d:], rtol=1e-2,
+                             atol=5e-2)
+
+
+def test_bpd_offsets_match_reference_formulas():
+  # uniform: log2(128)
+  np.testing.assert_allclose(bpd_offset('uniform', 1), np.log2(128))
+  # tn with num_is=1 (reference notebook_utils.py:450-455)
+  gt = -13.3
+  log_sigma = 0.5 * (gt - np.log1p(np.exp(gt)))
+  extra = 0.5 * (1 + np.log(2 * np.pi)) - 0.01522
+  np.testing.assert_allclose(bpd_offset('tn', 1),
+                             -(extra + log_sigma) / np.log(2), rtol=1e-6)
+  # tn with num_is>1 drops the single-sample Gaussian-entropy correction
+  np.testing.assert_allclose(bpd_offset('tn', 20),
+                             -log_sigma / np.log(2), rtol=1e-6)
+
+
+def test_ode_sampler(trained_tiny, rng):
+  exp, _, _ = trained_tiny
+  sample_fn = evals.make_ode_sample_fn(exp.model, exp.model_config,
+                                       rtol=1e-3, atol=1e-3)
+  z0, nfe = sample_fn(exp.state.ema_params, rng, 4)
+  assert z0.shape == (4, *exp.model_config.image_shape)
+  assert jnp.all(jnp.isfinite(z0))
+  assert int(nfe) > 0
+
+
+def test_eval_experiment_harness(trained_tiny):
+  from mulan_tpu.data import create_one_time_eval_dataset
+  from mulan_tpu.evals.harness import EvalExperiment
+  _, config, workdir = trained_tiny
+  exp = EvalExperiment(config, workdir + '/checkpoints')
+  assert exp.checkpoint_step == 4
+  metrics = exp.test(create_one_time_eval_dataset(config))
+  assert np.isfinite(metrics['eval_bpd'])
+  samples = exp.random_samples(batch_size=4, T=5)
+  assert samples.shape == (4, 8, 8, 3)
+  emb = np.zeros(exp.model_config.latent_size, np.float32)
+  emb[:3] = 1.0
+  cond = exp.conditional_samples(emb, batch_size=4, T=5)
+  assert cond.shape == (4, 8, 8, 3)
+  assert cond.dtype == np.uint8
