@@ -32,7 +32,7 @@ def main():
   from mulan_tpu.parallel import mesh as mesh_lib
   from mulan_tpu.train.loop import Experiment
 
-  substeps = 20
+  substeps = 10
   config = cifar10_conditioned.get_config()
   config.data.dataset = 'synthetic'
   config.data.synthetic_examples = 1024

@@ -53,15 +53,18 @@ class _UnetTrunk(nn.Module):
     block_cls = maybe_remat(ResnetBlock, cfg.remat)
     for i in range(cfg.forward_n_layer):
       h = block_cls(out_ch=n_embd, pdrop=cfg.sm_pdrop, dtype=dtype,
+                    hw_dropout=cfg.use_pallas,
                     name=f'down_block_{i}')(hs[-1], cond, deterministic)
       if cfg.with_attention:
         h = AttnBlock(dtype=dtype, name=f'down_attn_{i}')(h)
       hs.append(h)
 
     h = block_cls(pdrop=cfg.sm_pdrop, dtype=dtype,
+                  hw_dropout=cfg.use_pallas,
                   name='mid_block_1')(hs[-1], cond, deterministic)
     h = AttnBlock(dtype=dtype, name='mid_attn_1')(h)
     h = block_cls(pdrop=cfg.sm_pdrop, dtype=dtype,
+                  hw_dropout=cfg.use_pallas,
                   name='mid_block_2')(h, cond, deterministic)
 
     h = nn.swish(GroupNormF32(dtype=dtype)(h))

@@ -129,6 +129,7 @@ class ResnetBlock(nn.Module):
   out_ch: Optional[int] = None
   pdrop: float = 0.0
   dtype: jnp.dtype = jnp.float32
+  hw_dropout: bool = False  # Pallas hardware-PRNG dropout (ops/dropout.py)
 
   @nn.compact
   def __call__(self, x, cond, deterministic: bool = True):
@@ -146,7 +147,11 @@ class ResnetBlock(nn.Module):
         assert proj.shape == h.shape, (proj.shape, h.shape)
         h = h + proj
     h = nn.swish(GroupNormF32(dtype=self.dtype)(h))
-    h = nn.Dropout(rate=self.pdrop)(h, deterministic=deterministic)
+    if self.pdrop > 0 and not deterministic and self.hw_dropout:
+      from mulan_tpu.ops.dropout import hw_dropout, seed_from_key
+      h = hw_dropout(h, seed_from_key(self.make_rng('dropout')), self.pdrop)
+    else:
+      h = nn.Dropout(rate=self.pdrop)(h, deterministic=deterministic)
     h = nn.Conv(out_ch, (3, 3), dtype=self.dtype,
                 kernel_init=nn.initializers.zeros, name='conv2')(h)
     shortcut = x

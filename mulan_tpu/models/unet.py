@@ -83,7 +83,8 @@ class UNet(nn.Module):
 
     def res_block(name, h, out_ch=None):
       return block_cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
-                       name=name)(h, cond, deterministic)
+                       hw_dropout=cfg.use_pallas, name=name)(
+                           h, cond, deterministic)
 
     for i in range(n_layers):
       h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)

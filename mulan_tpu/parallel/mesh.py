@@ -28,20 +28,70 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
+FSDP_AXIS = 'fsdp'
 
 
-def create_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
-  """1-D data-parallel mesh over all (or the given) devices."""
+def create_mesh(devices=None, fsdp: int = 1) -> Mesh:
+  """Device mesh: 1-D ('data',) or, with fsdp > 1, 2-D ('data', 'fsdp').
+
+  On the 2-D mesh batches shard over BOTH axes (every chip holds a batch
+  shard) while parameters/EMA/optimizer state shard over 'fsdp' only
+  (ZeRO-3-style; XLA inserts the per-op all-gathers and the grad
+  reduce-scatter). fsdp=1 reproduces pure DP — the reference's only
+  strategy (SURVEY section 2.7).
+  """
   if devices is None:
     devices = jax.devices()
-  return Mesh(np.asarray(devices), (axis_name,))
+  devices = np.asarray(devices)
+  if fsdp <= 1:
+    return Mesh(devices, (DATA_AXIS,))
+  assert len(devices) % fsdp == 0, (len(devices), fsdp)
+  return Mesh(devices.reshape(len(devices) // fsdp, fsdp),
+              (DATA_AXIS, FSDP_AXIS))
+
+
+def _batch_axes(mesh: Mesh):
+  """Batches shard over every mesh axis (data, and fsdp if present)."""
+  return tuple(mesh.axis_names)
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
-  """Shard the given array axis over the mesh's data axis."""
+  """Shard the given array axis over all mesh axes."""
   spec = [None] * (batch_axis + 1)
-  spec[batch_axis] = DATA_AXIS
+  spec[batch_axis] = _batch_axes(mesh)
   return NamedSharding(mesh, P(*spec))
+
+
+def fsdp_sharding(mesh: Mesh, shape) -> NamedSharding:
+  """Parameter sharding: largest axis divisible by the fsdp size is sharded
+  over 'fsdp'; everything else (and all leaves on a 1-D mesh) replicated."""
+  if FSDP_AXIS not in mesh.axis_names or not shape:
+    return NamedSharding(mesh, P())
+  size = mesh.shape[FSDP_AXIS]
+  candidates = [(dim, i) for i, dim in enumerate(shape) if dim % size == 0]
+  if not candidates:
+    return NamedSharding(mesh, P())
+  _, axis = max(candidates)
+  spec = [None] * len(shape)
+  spec[axis] = FSDP_AXIS
+  return NamedSharding(mesh, P(*spec))
+
+
+def shard_state(mesh: Mesh, state):
+  """Place a TrainState on the mesh: every array leaf gets fsdp_sharding
+  (replicated on a 1-D mesh); params, EMA and adam moments share layouts
+  because they share shapes."""
+  return jax.tree.map(
+      lambda x: jax.device_put(x, fsdp_sharding(mesh, jnp_shape(x))), state)
+
+
+def jnp_shape(x):
+  return getattr(x, 'shape', ())
+
+
+def state_shardings(mesh: Mesh, state):
+  """The sharding tree matching `shard_state` (for jit out_shardings)."""
+  return jax.tree.map(lambda x: fsdp_sharding(mesh, jnp_shape(x)), state)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

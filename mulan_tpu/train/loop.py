@@ -45,7 +45,9 @@ class Experiment:
 
   def __init__(self, config, mesh=None):
     self.config = config
-    self.mesh = mesh if mesh is not None else mesh_lib.create_mesh()
+    if mesh is None:
+      mesh = mesh_lib.create_mesh(fsdp=config.training.get('fsdp', 1))
+    self.mesh = mesh
     self.model_config = model_config_from_dict(dict(config.model))
     self.model = build_model(config.vdm_type, self.model_config)
 
@@ -95,9 +97,11 @@ class Experiment:
         'conditioning': jnp.zeros((2,)),
     }
     r1, r2 = jax.random.split(rng)
-    variables = self.model.init({'params': r1, 'sample': r2}, **inputs,
-                                step=-1.0)
-    return variables['params']
+    # jit the init: eager flax init dispatches thousands of tiny ops to the
+    # device (minutes over a remote-TPU link); one compiled program instead.
+    init_fn = jax.jit(lambda r1, r2: self.model.init(
+        {'params': r1, 'sample': r2}, **inputs, step=-1.0))
+    return init_fn(r1, r2)['params']
 
   def loss_fn(self, params, batch, step, rng, is_train
               ) -> Tuple[jax.Array, Dict[str, Any]]:
@@ -143,7 +147,12 @@ class Experiment:
     def superstep(state, superbatch):
       return jax.lax.scan(train_step, state, superbatch)
 
-    self._p_superstep = jax.jit(superstep, donate_argnums=(0,))
+    # Pin the output state layout to the input layout (replicated on a 1-D
+    # mesh; fsdp-sharded on a 2-D mesh) so the scanned state never migrates.
+    out_shardings = (mesh_lib.state_shardings(self.mesh, self.state),
+                     self._replicated)
+    self._p_superstep = jax.jit(superstep, donate_argnums=(0,),
+                                out_shardings=out_shardings)
 
     eval_rng = self._eval_rng
 
@@ -181,7 +190,7 @@ class Experiment:
     return mesh_lib.shard_batch(self.mesh, batch, batch_axis=0)
 
   def _put_state(self, state):
-    return jax.device_put(state, self._replicated)
+    return mesh_lib.shard_state(self.mesh, state)
 
   # -- public API --------------------------------------------------------------
 
