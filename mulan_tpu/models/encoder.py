@@ -56,13 +56,13 @@ class _UnetTrunk(nn.Module):
                     hw_dropout=cfg.use_pallas,
                     name=f'down_block_{i}')(hs[-1], cond, deterministic)
       if cfg.with_attention:
-        h = AttnBlock(dtype=dtype, name=f'down_attn_{i}')(h)
+        h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name=f'down_attn_{i}')(h)
       hs.append(h)
 
     h = block_cls(pdrop=cfg.sm_pdrop, dtype=dtype,
                   hw_dropout=cfg.use_pallas,
                   name='mid_block_1')(hs[-1], cond, deterministic)
-    h = AttnBlock(dtype=dtype, name='mid_attn_1')(h)
+    h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name='mid_attn_1')(h)
     h = block_cls(pdrop=cfg.sm_pdrop, dtype=dtype,
                   hw_dropout=cfg.use_pallas,
                   name='mid_block_2')(h, cond, deterministic)

@@ -46,17 +46,22 @@ def num_groups_for(channels: int, max_groups: int = 32) -> int:
 
 
 class GroupNormF32(nn.Module):
-  """GroupNorm with statistics in float32, output cast to `dtype`."""
+  """GroupNorm: fp32 statistics, `dtype` elementwise compute.
+
+  flax computes the mean/var reductions in float32 regardless of dtype
+  (`force_float32_reductions`, flax normalization._compute_stats), so passing
+  bf16 activations straight through keeps full statistic precision WITHOUT
+  materializing an fp32 copy of the activation — an explicit astype(f32) here
+  cost ~20% of the train step in layout-change copies (profiled on v5e).
+  """
 
   dtype: jnp.dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x):
     c = x.shape[-1]
-    h = nn.GroupNorm(
-        num_groups=num_groups_for(c), dtype=jnp.float32,
-        param_dtype=jnp.float32)(x.astype(jnp.float32))
-    return h.astype(self.dtype)
+    return nn.GroupNorm(num_groups=num_groups_for(c), dtype=self.dtype,
+                        param_dtype=jnp.float32)(x.astype(self.dtype))
 
 
 def timestep_embedding(t: jax.Array, dim: int,
@@ -171,12 +176,19 @@ class AttnBlock(nn.Module):
   """Self-attention residual block over the (H, W) spatial axes.
 
   Parity: model_vdm.py:660-701 (single-head path; the shipped configs never
-  use num_heads > 1). The softmax runs in float32. Output projection is
-  zero-initialized so a fresh block is the identity.
+  use num_heads > 1). Two execution paths:
+    * XLA einsum with fp32 softmax (portable reference) — materializes the
+      (B, heads, T, T) weights;
+    * `use_pallas`: the Pallas TPU flash-attention kernel (blockwise online
+      softmax, full custom fwd+bwd) when shapes permit — at 32x32 spatial
+      tokens the materialized fp32 logits are 128 x 1024 x 1024 = 0.5 GB of
+      HBM traffic per block that the kernel never touches.
+  Output projection is zero-initialized so a fresh block is the identity.
   """
 
   num_heads: int = 1
   dtype: jnp.dtype = jnp.float32
+  use_pallas: bool = False
 
   @nn.compact
   def __call__(self, x):
@@ -198,10 +210,19 @@ class AttnBlock(nn.Module):
     v = v.reshape(b, t, self.num_heads, head_dim)
 
     scale = 1.0 / np.sqrt(head_dim)
-    logits = jnp.einsum('bqhd,bkhd->bhqk', q.astype(jnp.float32) * scale,
-                        k.astype(jnp.float32))
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum('bhqk,bkhd->bqhd', weights.astype(self.dtype), v)
+    use_flash = (self.use_pallas and jax.default_backend() == 'tpu'
+                 and head_dim % 128 == 0 and t % 512 == 0)
+    if use_flash:
+      from jax.experimental.pallas.ops.tpu import flash_attention as fa
+      out = fa.flash_attention(
+          q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+          v.transpose(0, 2, 1, 3), sm_scale=scale)
+      out = out.transpose(0, 2, 1, 3).astype(self.dtype)
+    else:
+      logits = jnp.einsum('bqhd,bkhd->bhqk', q.astype(jnp.float32) * scale,
+                          k.astype(jnp.float32))
+      weights = jax.nn.softmax(logits, axis=-1)
+      out = jnp.einsum('bhqk,bkhd->bqhd', weights.astype(self.dtype), v)
     out = out.reshape(b, hgt, wid, self.num_heads, head_dim)
     out = nn.DenseGeneral(c, axis=(-2, -1), dtype=self.dtype,
                           kernel_init=nn.initializers.zeros,

@@ -276,6 +276,21 @@ class MuLAN(nn.Module):
       return -v_hat * jnp.sqrt(1 + jnp.exp(-gt))
     return -xt - jnp.exp(-0.5 * gt) * v_hat
 
+  def score_jvp(self, z_t, g_t, conditioning, v, deterministic: bool = True):
+    """JVP of the score function w.r.t. the input (trace-matching hook,
+    reference model_mulan_velocity.py:172-185)."""
+    def score(xt, gt, emb):
+      model_out = self.score_model(xt, self._score_gt(gt), emb,
+                                   deterministic=deterministic)
+      if self.parameterization == 'epsilon':
+        return -model_out / jnp.sqrt(nn.sigmoid(gt))
+      if self.config.velocity_from_epsilon:
+        return -model_out * jnp.sqrt(1 + jnp.exp(-gt))
+      return -xt - jnp.exp(-0.5 * gt) * model_out
+
+    return jax.jvp(score, (z_t, g_t, conditioning),
+                   (v, jnp.zeros_like(g_t), jnp.zeros_like(conditioning)))
+
   def reverse_ode(self, xt, embeddings, t, high_precision: bool = False):
     """Probability-flow drift dx/dt.
 

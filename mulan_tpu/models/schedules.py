@@ -109,10 +109,57 @@ class NoiseScheduleNNet(ScalarSchedule):
     return jnp.squeeze(h + _h, axis=-1)
 
 
+class NoiseScheduleBDM(ScalarSchedule):
+  """Sigmoid-shaped fixed schedules (reference model_vdm.py:438-459 BadBDM /
+  GoodBDM — present in the reference zoo though unused by shipped configs)."""
+
+  config: ModelConfig
+  good: bool = False
+
+  @nn.compact
+  def __call__(self, t):
+    c = self.config
+    if self.good:
+      g = 2 - 2 * nn.sigmoid(10.0 * (1 - t))
+    else:
+      g = 2 * nn.sigmoid(t) - 1
+    return c.gamma_min + (c.gamma_max - c.gamma_min) * g
+
+
+class BlurScheduleScalar(ScalarSchedule):
+  """sigma(t) = sigmoid(b + |w| t) (reference model_vdm.py:513-524)."""
+
+  config: ModelConfig
+
+  @nn.compact
+  def __call__(self, t):
+    w = self.param('w', constant_init(1.0), (1,))
+    b = self.param('b', constant_init(0.0), (1,))
+    return nn.sigmoid(b[0] + jnp.abs(w[0]) * t)
+
+
+class BlurScheduleFixedLinear(ScalarSchedule):
+  """sigma(t) = sigma_min + (sigma_max - sigma_min) t
+  (model_vdm.py:527-533)."""
+
+  config: ModelConfig
+
+  @nn.compact
+  def __call__(self, t):
+    c = self.config
+    return c.sigma_min + (c.sigma_max - c.sigma_min) * t
+
+
 SCALAR_SCHEDULES = {
     'learnable_scalar': NoiseScheduleScalar,
     'fixed': NoiseScheduleFixedLinear,
     'learnable_nnet': NoiseScheduleNNet,
+    'bad_bdm': NoiseScheduleBDM,
+}
+
+BLUR_SCHEDULES = {
+    'learnable_scalar': BlurScheduleScalar,
+    'fixed': BlurScheduleFixedLinear,
 }
 
 

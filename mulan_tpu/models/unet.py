@@ -89,18 +89,18 @@ class UNet(nn.Module):
     for i in range(n_layers):
       h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)
       if cfg.with_attention:
-        h = AttnBlock(dtype=dtype, name=f'down_attn_{i}')(h)
+        h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name=f'down_attn_{i}')(h)
       hs.append(h)
 
     h = res_block('mid_block_1', hs[-1])
-    h = AttnBlock(dtype=dtype, name='mid_attn_1')(h)
+    h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name='mid_attn_1')(h)
     h = res_block('mid_block_2', h)
 
     for i in range(n_layers + 1):
       h = res_block(f'up_block_{i}',
                     jnp.concatenate([h, hs.pop()], axis=-1), out_ch=n_embd)
       if cfg.with_attention:
-        h = AttnBlock(dtype=dtype, name=f'up_attn_{i}')(h)
+        h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name=f'up_attn_{i}')(h)
     assert not hs
 
     h = nn.swish(GroupNormF32(dtype=dtype)(h))

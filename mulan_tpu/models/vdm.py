@@ -117,6 +117,13 @@ class VDM(nn.Module):
     return (jnp.sqrt(a / b) * (z_t - sigma_t * c * eps_hat)
             + jnp.sqrt((1.0 - a) * c) * eps)
 
+  def conditional_sample(self, i, T, z_t, embedding, conditioning, rng):
+    """API-uniform with MuLAN; the scalar-gamma VDM has no latent, so the
+    embedding is ignored (mirrors the reference's apply_encoder stub
+    pattern, model_vdm.py:240-241)."""
+    del embedding
+    return self.sample(i, T, z_t, conditioning, rng)
+
   def generate_x(self, z_0):
     g_0 = self.gamma(jnp.zeros((1,)))[0]
     var_0 = nn.sigmoid(g_0)
