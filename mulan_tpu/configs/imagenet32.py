@@ -3,7 +3,6 @@
 Parity: /root/reference/ldm/configs/imagenet32.py.
 """
 
-import ml_collections
 
 from mulan_tpu.configs import cifar10_conditioned
 

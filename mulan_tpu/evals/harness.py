@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mulan_tpu.parallel import mesh as mesh_lib
 from mulan_tpu.train import checkpoint as ckpt_lib
 from mulan_tpu.train.loop import Experiment
 

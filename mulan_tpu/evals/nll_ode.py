@@ -29,7 +29,6 @@ Numerics vs the reference:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 from absl import logging
@@ -122,17 +121,21 @@ def make_ode_likelihood_fn(model, model_config, *,
       return model.apply({'params': params}, x, embeddings, t,
                          high_precision, method=model.reverse_ode)
 
+    # State layout (B, D+1): per-example latent row + delta-logp column.
+    # Batch-major keeps the whole solve sharded on the mesh 'data' axis
+    # (the reference's single flattened float64 vector interleaves examples,
+    # notebook_utils.py:350-360).
     def ode_func(t, y):
-      x = y[:b * d].reshape(data.shape)
+      x = y[:, :d].reshape(data.shape)
       fx, jvp_out = jax.jvp(lambda xx: drift_fn(t, xx), (x,), (eps,))
       div = jnp.sum(jvp_out * eps, axis=tuple(range(1, data.ndim)))
-      return jnp.concatenate([fx.reshape(-1), div])
+      return jnp.concatenate([fx.reshape(b, d), div[:, None]], axis=1)
 
-    y0 = jnp.concatenate([data.reshape(-1), jnp.zeros((b,))])
+    y0 = jnp.concatenate([data.reshape(b, d), jnp.zeros((b, 1))], axis=1)
     sol = odeint_dopri5(ode_func, y0, 0.0, 1.0, rtol=rtol, atol=atol,
                         max_steps=max_steps)
-    z1 = sol.y[:b * d].reshape(data.shape)
-    delta_logp = sol.y[b * d:]
+    z1 = sol.y[:, :d].reshape(data.shape)
+    delta_logp = sol.y[:, d]
     log_p = _prior_logp(z1) + delta_logp
     return log_p, log_q_eps, aux_latent_loss
 

@@ -21,7 +21,6 @@ experiment.py:90-91), with the input pipeline delivering
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, Dict, Tuple
