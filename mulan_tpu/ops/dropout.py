@@ -3,16 +3,18 @@
 Training profile (round 1, v5e): the 67 per-block dropout masks cost ~30% of
 the train step when generated with jax.random's counter-based threefry
 (3.2 -> 4.6 steps/sec with dropout off); the 'rbg' PRNG global switch is even
-slower on this chip. This kernel draws the mask from the TPU's hardware PRNG
-(`pltpu.prng_random_bits`) seeded from a scalar, and the backward pass
-REGENERATES the same mask from the same seed instead of storing it — zero
-mask residuals, zero threefry lanes in the hot loop.
+slower on this chip.
 
-Numerics: standard inverted dropout, out = x * keep / (1 - rate) with
-keep = (u32 bits >= rate * 2^32). Mask distribution differs from
-jax.random.bernoulli only in the bit source; training semantics are
-unchanged. Seeds should be derived per call site from the flax 'dropout'
-rng stream so layers/steps decorrelate (see `seed_from_key`).
+Design: the Pallas kernel produces ONLY the pre-scaled mask (0 or 1/(1-p))
+from the TPU hardware PRNG; the `x * mask` multiply stays in XLA, where it
+fuses into neighboring ops in whatever layout they use. Feeding activations
+THROUGH a Pallas kernel would pin them to row-major and surround every block
+with layout-transpose copies (profiled: conv outputs here live in {3,0,2,1}).
+The backward pass REGENERATES the mask from the same seed instead of keeping
+it alive — zero mask residuals, zero software-PRNG lanes.
+
+Seeds should be derived per call site from the flax 'dropout' rng stream so
+layers/steps decorrelate (see `seed_from_key`).
 """
 
 from __future__ import annotations
@@ -34,35 +36,26 @@ def seed_from_key(key) -> jax.Array:
   return jnp.asarray(data.reshape(-1)[-1], jnp.int32)
 
 
-def _dropout_kernel(seed_ref, x_ref, out_ref, *, rate: float, scale: float):
+def _mask_kernel(seed_ref, out_ref, *, rate: float, scale: float):
   pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-  bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+  bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.uint32)
   threshold = np.uint32(min(int(rate * 4294967296.0), 4294967295))
-  keep = (bits >= threshold).astype(x_ref.dtype)
-  out_ref[:] = x_ref[:] * keep * x_ref.dtype.type(scale)
+  keep = (bits >= threshold).astype(out_ref.dtype)
+  out_ref[:] = keep * out_ref.dtype.type(scale)
 
 
-def _mask_apply(x2, seed, rate, scale, tile):
-  rows, cols = x2.shape
-  kernel = functools.partial(_dropout_kernel, rate=rate, scale=scale)
-  return pl.pallas_call(
-      kernel,
-      grid=(rows // tile,),
-      in_specs=[
-          pl.BlockSpec(memory_space=pltpu.SMEM),
-          pl.BlockSpec((tile, cols), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_specs=pl.BlockSpec((tile, cols), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
-      interpret=jax.default_backend() not in ('tpu',),
-  )(seed, x2)
+def _tile(rows):
+  # Large tiles keep the grid small (4096x128 bf16 = 1 MB/block); rows is a
+  # multiple of 8.
+  for t in (4096, 1024, 512, 256, 64, 8):
+    if rows % t == 0:
+      return t
+  return rows
 
 
-def _shape2d(x):
-  n = int(np.prod(x.shape))
-  cols = x.shape[-1]
+def _shape2d(shape):
+  n = int(np.prod(shape))
+  cols = shape[-1]
   if cols % _LANE == 0 and (n // cols) % 8 == 0:
     rows = n // cols
   else:  # fall back to a flat padded layout
@@ -72,51 +65,42 @@ def _shape2d(x):
   return rows, cols, n
 
 
-def _tile(rows):
-  # Large tiles keep the grid small (fewer kernel launches; 4096x128 fp32 is
-  # 2 MB/block, well within VMEM with double buffering); rows is a multiple
-  # of 8.
-  for t in (4096, 1024, 512, 256, 64, 8):
-    if rows % t == 0:
-      return t
-  return rows
+def _hw_mask(seed, shape, rate: float, dtype) -> jax.Array:
+  """Pre-scaled dropout mask of `shape`: values in {0, 1/(1-rate)}."""
+  scale = 1.0 / (1.0 - rate)
+  if jax.default_backend() != 'tpu':
+    # Off-TPU fallback (tests / CPU): same regenerate-from-seed semantics,
+    # threefry bit source (pltpu.prng_* has no CPU interpret lowering).
+    key = jax.random.PRNGKey(jnp.abs(seed).astype(jnp.uint32))
+    keep = jax.random.bernoulli(key, 1.0 - rate, shape)
+    return keep.astype(dtype) * jnp.asarray(scale, dtype)
+  rows, cols, n = _shape2d(shape)
+  kernel = functools.partial(_mask_kernel, rate=rate, scale=scale)
+  mask2d = pl.pallas_call(
+      kernel,
+      grid=(rows // _tile(rows),),
+      in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+      out_specs=pl.BlockSpec((_tile(rows), cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
+  )(seed.reshape(1))
+  return mask2d.reshape(-1)[:n].reshape(shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def hw_dropout(x, seed, rate: float):
-  """Inverted dropout with hardware PRNG; `seed` is an int32 scalar."""
-  out, _ = _hw_fwd(x, seed, rate)
-  return out
-
-
-def _apply(x, seed, rate):
-  if jax.default_backend() != 'tpu':
-    # Off-TPU fallback (tests / CPU): same API and same
-    # regenerate-from-seed semantics, threefry bit source. pltpu.prng_seed
-    # has no CPU interpret-mode lowering.
-    key = jax.random.PRNGKey(jnp.abs(seed).astype(jnp.uint32))
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x * x.dtype.type(1.0 / (1.0 - rate)),
-                     jnp.zeros_like(x))
-  rows, cols, n = _shape2d(x)
-  flat = x.reshape(-1)
-  pad = rows * cols - n
-  if pad:
-    flat = jnp.pad(flat, (0, pad))
-  x2 = flat.reshape(rows, cols)
-  out = _mask_apply(x2, seed.reshape(1), rate, 1.0 / (1.0 - rate),
-                    _tile(rows))
-  return out.reshape(-1)[:n].reshape(x.shape)
+  """Inverted dropout with a hardware-PRNG mask; `seed` is an int32 scalar."""
+  return x * _hw_mask(seed, x.shape, rate, x.dtype)
 
 
 def _hw_fwd(x, seed, rate):
-  return _apply(x, seed, rate), (seed,)
+  return hw_dropout(x, seed, rate), seed
 
 
-def _hw_bwd(rate, residuals, ct):
-  (seed,) = residuals
-  # identical seed + grid -> identical mask
-  return _apply(ct, seed, rate), jnp.zeros_like(seed)
+def _hw_bwd(rate, seed, ct):
+  # identical seed + grid -> identical mask; ct matches x's shape/dtype
+  return (ct * _hw_mask(seed, ct.shape, rate, ct.dtype),
+          jnp.zeros_like(seed))
 
 
 hw_dropout.defvjp(_hw_fwd, _hw_bwd)
