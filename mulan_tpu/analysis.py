@@ -172,6 +172,52 @@ def plot_heat_map(noise_schedules, image_shape=(32, 32, 3), count: int = 3,
       plt.yticks([])
 
 
+def plot_sequence_images(image_array, dpi: float = 100.0, interval=800):
+  """Animate an image sequence in a notebook (notebook_utils.py:588-607)."""
+  import matplotlib.pyplot as plt
+  from matplotlib import animation
+  fig = plt.figure(
+      figsize=(image_array[0].shape[1] / dpi,
+               image_array[0].shape[0] / dpi), dpi=dpi)
+  im = plt.figimage(image_array[0])
+
+  def animate(i):
+    im.set_array(image_array[i])
+    return (im,)
+
+  return animation.FuncAnimation(fig, animate, frames=len(image_array),
+                                 interval=interval, repeat=True)
+
+
+def animate_noise_schedule(noise_schedules, interval=800):
+  """Animate schedule curves over training (notebook_utils.py:610-627)."""
+  import matplotlib.pyplot as plt
+  from matplotlib import animation
+  fig, ax = plt.subplots()
+
+  def animate(i):
+    ax.clear()
+    ax.plot(np.asarray(noise_schedules[i]))
+
+  return animation.FuncAnimation(fig, animate, frames=len(noise_schedules),
+                                 interval=interval, repeat=True)
+
+
+def animate_scatter(xs, ys, cs, interval=800):
+  """Animated embedding scatter (notebook_utils.py:736-753)."""
+  import matplotlib.pyplot as plt
+  from matplotlib import animation
+  fig, ax = plt.subplots()
+
+  def animate(i):
+    ax.clear()
+    ax.axis([-2, 2, -2, 2])
+    ax.scatter(xs[i], ys[i], c=(cs[i] > np.mean(cs[i])))
+
+  return animation.FuncAnimation(fig, animate, frames=len(xs),
+                                 interval=interval, repeat=True)
+
+
 def plot_histogram(noise_schedules, count: int = 3, num_cols: int = 5):
   import matplotlib.pyplot as plt
   for ns in noise_schedules[:count]:

@@ -12,10 +12,11 @@ Numerics vs the reference:
   * state is float32 with the drift's `high_precision=True` log-domain guards
     enabled by default (reference model_mulan_velocity.py:410-416); the
     tolerance defaults (rtol=atol=1e-5) match eval_bpd.py:29-30;
-  * divergence via FORWARD-mode jvp: div ~= eps^T (df/dx) eps. The reference
-    computes the same estimator with reverse-mode (grad of sum(f*eps),
-    notebook_utils.py:204-216) — identical value, but jvp needs no backward
-    pass;
+  * divergence via REVERSE-mode vjp: div ~= (eps^T df/dx) eps, exactly the
+    reference's formulation (grad of sum(f*eps), notebook_utils.py:204-216).
+    Forward-mode jvp computes the same scalar but cannot differentiate
+    through custom_vjp kernels (flash attention), which the drift uses when
+    `use_pallas` is on;
   * Hutchinson noise is drawn once per solve (the reference's
     `--deterministic_noise` mode). Redrawing per RHS evaluation makes the
     RHS non-deterministic, which an adaptive controller on device would see
@@ -127,8 +128,9 @@ def make_ode_likelihood_fn(model, model_config, *,
     # notebook_utils.py:350-360).
     def ode_func(t, y):
       x = y[:, :d].reshape(data.shape)
-      fx, jvp_out = jax.jvp(lambda xx: drift_fn(t, xx), (x,), (eps,))
-      div = jnp.sum(jvp_out * eps, axis=tuple(range(1, data.ndim)))
+      fx, vjp_fn = jax.vjp(lambda xx: drift_fn(t, xx), x)
+      (eps_jac,) = vjp_fn(eps)  # eps^T (df/dx)
+      div = jnp.sum(eps_jac * eps, axis=tuple(range(1, data.ndim)))
       return jnp.concatenate([fx.reshape(b, d), div[:, None]], axis=1)
 
     y0 = jnp.concatenate([data.reshape(b, d), jnp.zeros((b, 1))], axis=1)

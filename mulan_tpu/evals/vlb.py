@@ -92,6 +92,15 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
   loader = data_lib.create_one_time_eval_dataset(config, batch_size)
   rng = jax.random.PRNGKey(0)
 
+  # The latent logits are t-independent: run the encoder ONCE per image and
+  # tile the logits over the grid (the latent top-k/gumbel noise is still
+  # re-sampled per grid copy inside elbo). Only MuLAN latent-logit models
+  # have this shortcut; the scalar VDM and gaussian latents take the plain
+  # path.
+  share_encoder = (getattr(model, 'parameterization', None) is not None
+                   and cfg.latent_type in ('topk', 'gumbel')
+                   and cfg.reparam_type == 'true')
+
   @jax.jit
   def chunk_bpd(params, images, conditioning, labels, rng):
     """images: (B, H, W, C) -> per-image mean bpd over the t-grid."""
@@ -103,10 +112,15 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
     tiled = jnp.repeat(images, n_timesteps, axis=0)
     cond = jnp.repeat(conditioning, n_timesteps, axis=0)
     labs = jnp.repeat(labels, n_timesteps, axis=0)
+    kwargs = {}
+    if share_encoder:
+      logits = model.apply({'params': params}, images,
+                           method=model.apply_encoder)
+      kwargs['encoder_logits'] = jnp.repeat(logits, n_timesteps, axis=0)
     outputs = model.apply(
         {'params': params}, images=tiled, labels=labs, conditioning=cond,
         step=0, t=t, rngs={'sample': elbo_rng}, deterministic=True,
-        method=model.elbo)
+        method=model.elbo, **kwargs)
     bpd = _bpd_terms(outputs, cfg.n_pixels).reshape(b, n_timesteps)
     return jnp.mean(bpd, axis=1)
 

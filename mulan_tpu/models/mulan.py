@@ -59,9 +59,14 @@ class MuLAN(nn.Module):
     return self.encoder_model(self.encdec.encode(images_int),
                               deterministic=True)
 
-  def _embedding_and_kl(self, orig_f, step, deterministic):
+  def _embedding_and_kl(self, orig_f, step, deterministic,
+                        encoder_logits=None):
     cfg = self.config
-    logits_or_heads = self.encoder_model(orig_f, deterministic)
+    if encoder_logits is not None:
+      assert cfg.latent_type in ('topk', 'gumbel'), cfg.latent_type
+      logits_or_heads = encoder_logits
+    else:
+      logits_or_heads = self.encoder_model(orig_f, deterministic)
     if cfg.latent_type == 'topk':
       return latents.topk_embedding(self.make_rng('sample'), logits_or_heads,
                                     k=cfg.latent_k,
@@ -135,7 +140,7 @@ class MuLAN(nn.Module):
     return self.elbo(images, labels, conditioning, step, t, deterministic)
 
   def elbo(self, images, labels, conditioning, step, t,
-           deterministic: bool = True):
+           deterministic: bool = True, encoder_logits=None):
     """ELBO at EXPLICIT diffusion times t (B,).
 
     `__call__` samples t and delegates here; the dense-VLB evaluator calls
@@ -143,6 +148,13 @@ class MuLAN(nn.Module):
     effect implicitly by tiling one image n_timesteps times and relying on
     antithetic sampling, notebook_utils.py:176-191 — that trick breaks for
     multi-image batches, so the grid is explicit here).
+
+    `encoder_logits`, if given, skips the encoder UNet: the latent logits
+    are t-independent, so the dense sweep computes them ONCE per image and
+    tiles them over the grid (the reference recomputes the encoder for
+    every grid copy, notebook_utils.py:183-185). The per-copy latent
+    SAMPLING (top-k/gumbel noise) still happens here, preserving the
+    estimator's distribution exactly.
     """
     cfg = self.config
     x = images.reshape(-1, *cfg.image_shape)
@@ -150,7 +162,8 @@ class MuLAN(nn.Module):
 
     orig_f = self.encdec.encode(x)
     if cfg.reparam_type == 'true':
-      embedding, kl_z = self._embedding_and_kl(orig_f, step, deterministic)
+      embedding, kl_z = self._embedding_and_kl(orig_f, step, deterministic,
+                                               encoder_logits)
     else:
       embedding = jax.nn.one_hot(labels, 10)
       kl_z = 0.0

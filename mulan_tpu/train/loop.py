@@ -62,6 +62,11 @@ class Experiment:
     params = self._init_params(model_rng)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logging.info('parameter count: %.3fM', n_params / 1e6)
+    try:  # full per-leaf table (reference experiment.py:60)
+      from clu import parameter_overview
+      parameter_overview.log_parameter_overview(params)
+    except Exception:  # pragma: no cover - clu optional
+      pass
 
     self.lr_schedule = make_lr_schedule(
         config.optimizer.learning_rate,

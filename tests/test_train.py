@@ -137,3 +137,18 @@ def test_dp_sharding_matches_single_device(tiny_config, rng):
   jax.tree.map(
       lambda a, b: np.testing.assert_allclose(
           np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5), g1, g8)
+
+
+def test_seed_reproducibility():
+  """Two experiments from the same config produce identical first-step
+  metrics (deterministic init + data + rng folding)."""
+  config = tiny_synthetic.get_config()
+
+  def first_metrics():
+    exp = Experiment(config)
+    state = exp._put_state(exp.state)
+    batch = exp._put_superbatch(next(exp.train_iter))
+    _, metrics = exp._p_superstep(state, batch)
+    return float(jnp.mean(metrics['bpd']))
+
+  assert first_metrics() == first_metrics()
