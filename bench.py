@@ -32,7 +32,10 @@ def main():
   from mulan_tpu.parallel import mesh as mesh_lib
   from mulan_tpu.train.loop import Experiment
 
-  substeps = 10
+  # 50 steps/dispatch amortizes host dispatch like real training (substeps
+  # 1000) while keeping each device dispatch ~12s. (This sandbox's TPU
+  # tunnel kills dispatches beyond ~2 minutes; real pods don't care.)
+  substeps = 50
   config = cifar10_conditioned.get_config()
   config.data.dataset = 'synthetic'
   config.data.synthetic_examples = 1024

@@ -112,6 +112,26 @@ def test_ode_drift_solve_matches_scipy(trained_tiny, rng):
                              atol=5e-2)
 
 
+def test_ode_nll_velocity_from_epsilon(tiny_config, rng):
+  """The ImageNet32 eval path: an epsilon-trained net reinterpreted as
+  velocity (README.md:49,58) through the on-device ODE."""
+  import dataclasses
+  from mulan_tpu.models import build_model
+  from mulan_tpu.evals.nll_ode import make_ode_likelihood_fn
+
+  cfg = dataclasses.replace(tiny_config, velocity_from_epsilon=True)
+  model = build_model('mulan_velocity', cfg)
+  images = jax.random.randint(rng, (2, 8, 8, 3), 0, 256).astype('uint8')
+  r1, r2 = jax.random.split(rng)
+  params = model.init({'params': r1, 'sample': r2}, images,
+                      jnp.zeros((2,), 'int32'), jnp.zeros((2,)),
+                      step=-1.0)['params']
+  likelihood = make_ode_likelihood_fn(model, cfg, rtol=1e-3, atol=1e-3)
+  log_p, log_q, aux = likelihood(params, r2, images)
+  assert log_p.shape == (2,)
+  assert np.all(np.isfinite(np.asarray(log_p)))
+
+
 def test_bpd_offsets_match_reference_formulas():
   # uniform: log2(128)
   np.testing.assert_allclose(bpd_offset('uniform', 1), np.log2(128))
