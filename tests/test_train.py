@@ -152,3 +152,23 @@ def test_seed_reproducibility():
     return float(jnp.mean(metrics['bpd']))
 
   assert first_metrics() == first_metrics()
+
+
+def test_vdm_baseline_end_to_end(tmp_path):
+  """BASELINE config #1: scalar-schedule VDM, train + VLB eval on CPU."""
+  config = tiny_synthetic.get_config()
+  config.vdm_type = 'vdm'
+  config.model.gamma_type = 'learnable_nnet'
+  config.model.z_conditioning = False
+  exp = Experiment(config)
+  exp.train_and_evaluate(str(tmp_path / 'run'))
+  assert int(exp.state.step) == 4
+
+
+def test_mulan_epsilon_end_to_end(tmp_path):
+  """MuLAN-epsilon training path (BASELINE config #2 shape)."""
+  config = tiny_synthetic.get_config()
+  config.vdm_type = 'mulan_epsilon'
+  exp = Experiment(config)
+  exp.train_and_evaluate(str(tmp_path / 'run'))
+  assert int(exp.state.step) == 4
