@@ -31,6 +31,10 @@ flags.DEFINE_bool('multiprocess', False,
 flags.DEFINE_bool('jax_debug_nans', False,
                   'Error on NaN production (debug config, SURVEY section 5).')
 flags.DEFINE_bool('jax_disable_jit', False, 'Run op-by-op for debugging.')
+flags.DEFINE_string('compilation_cache_dir', '~/.cache/mulan_tpu_xla',
+                    'Persistent XLA compilation cache ("" disables). '
+                    'Restarted/requeued jobs skip the multi-minute UNet '
+                    'compile.')
 flags.mark_flags_as_required(['config', 'workdir'])
 
 
@@ -47,6 +51,10 @@ def main(argv):
                jax.process_count())
   logging.info('JAX devices: %r', jax.devices())
 
+  if FLAGS.compilation_cache_dir:
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser(FLAGS.compilation_cache_dir))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
   if FLAGS.jax_debug_nans:
     jax.config.update('jax_debug_nans', True)
   if FLAGS.jax_disable_jit:
