@@ -1,0 +1,270 @@
+"""Reference-checkpoint compatibility: import s-sahoo/MuLAN checkpoints.
+
+The reference trains with clu checkpoints (reference experiment.py:211,
+292-294): each `ckpt-N` has a sibling `ckpt-N.flax` file holding
+`flax.serialization.to_bytes(TrainState)` — a msgpack dict with keys
+{step, params, ema_params, opt_state} (reference train_state.py:33-119,
+clu/checkpoint.py `save`). The released CIFAR-10 (ckpt-223, mulan_velocity)
+and ImageNet32 (ckpt-220, mulan_epsilon) checkpoints are in this format.
+
+This module converts that format into this framework's layout:
+
+  * `convert_params` maps the reference parameter tree onto this framework's
+    module names (GroupNorm wrappers, flattened-token attention projections,
+    encoder trunk/head split). The mapping is pure re-indexing — verified
+    elementwise against the live reference in tests/test_reference_parity.py
+    (forward) and tests/test_grad_parity.py (gradients).
+  * `load_reference_state` reads a `ckpt-N[.flax]` file (or the latest in a
+    directory) without needing clu/TF.
+  * the CLI imports a reference checkpoint into an orbax checkpoint that
+    `--mode eval`, `eval_bpd.py` and training auto-resume consume directly:
+
+      python -m mulan_tpu.compat \
+          --config=mulan_tpu/configs/cifar10_conditioned.py \
+          --reference_checkpoint=/ckpts/cifar10/checkpoints/ckpt-223 \
+          --workdir=/tmp/imported
+
+    The optimizer state is freshly initialized (the reference's optax
+    tree layout follows its param layout and adam moments are cheap to
+    re-accumulate); params, ema_params and step are imported.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+from absl import logging
+import flax
+import jax
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Parameter-tree conversion (reference layout -> mulan_tpu layout)
+# --------------------------------------------------------------------------
+
+
+def _convert_attn(ref_attn: Dict[str, Any]) -> Dict[str, Any]:
+  """Reference AttnBlock (model_vdm.py:660-701) uses Dense projections over
+  the channel axis; our AttnBlock uses DenseGeneral with explicit
+  (heads, head_dim) axes — same weights, reshaped."""
+  c = ref_attn['q']['kernel'].shape[0]
+  out = {'GroupNormF32_0': {'GroupNorm_0': ref_attn['GroupNorm_0']}}
+  for name in ('q', 'k', 'v'):
+    out[name] = {'kernel': ref_attn[name]['kernel'].reshape(c, 1, c),
+                 'bias': ref_attn[name]['bias'].reshape(1, c)}
+  out['proj_out'] = {
+      'kernel': ref_attn['proj_out']['kernel'].reshape(1, c, c),
+      'bias': ref_attn['proj_out']['bias']}
+  return out
+
+
+def _convert_block(ref_block: Dict[str, Any]) -> Dict[str, Any]:
+  """ResnetBlock: our GroupNorms live inside GroupNormF32 wrapper modules."""
+  out = {}
+  for name, sub in ref_block.items():
+    if name == 'GroupNorm_0':
+      out['GroupNormF32_0'] = {'GroupNorm_0': sub}
+    elif name == 'GroupNorm_1':
+      out['GroupNormF32_1'] = {'GroupNorm_0': sub}
+    else:
+      out[name] = sub
+  return out
+
+
+def _convert_unet(ref: Dict[str, Any]) -> Dict[str, Any]:
+  """ScoreUNet / UnetEncoder trunk: rename `a.b` modules to `a_b`, convert
+  attention and resnet blocks, wrap the final GroupNorm."""
+  out = {}
+  for name, sub in ref.items():
+    new = name.replace('.', '_')
+    if 'attn' in name:
+      out[new] = _convert_attn(sub)
+    elif 'block' in name:
+      out[new] = _convert_block(sub)
+    elif name == 'GroupNorm_0':
+      out['GroupNormF32_0'] = {'GroupNorm_0': sub}
+    else:
+      out[new] = sub
+  return out
+
+
+def convert_params(ref_params: Dict[str, Any]) -> Dict[str, Any]:
+  """Reference param tree -> this framework's layout.
+
+  Covers the module set of both released checkpoints (ScoreUNet score model,
+  UnetEncoder encoder, any GAMMA_NETWORKS schedule; the epsilon and velocity
+  models share all module classes, model_mulan_velocity.py:34-46).
+  """
+  ref = flax.core.unfreeze(ref_params)
+  unknown = set(ref) - {'score_model', 'encoder_model', 'gamma'}
+  if unknown:
+    raise ValueError(f'unexpected top-level reference keys: {sorted(unknown)}')
+  out = {'score_model': _convert_unet(ref['score_model'])}
+  if 'encoder_model' in ref:
+    encoder = _convert_unet(dict(ref['encoder_model']))
+    if 'dense_layer_final' in encoder:  # UnetEncoder: trunk + logits head
+      final = encoder.pop('dense_layer_final')
+      out['encoder_model'] = {'trunk': encoder,
+                              'dense_layer_final': final}
+    else:  # CNN encoder: flat module list maps 1:1
+      out['encoder_model'] = encoder
+  if 'gamma' in ref:
+    out['gamma'] = ref['gamma']
+  return out
+
+
+def assert_tree_compatible(converted: Dict[str, Any], fresh: Dict[str, Any]):
+  """Raise with a readable diff if the converted tree does not line up with a
+  freshly initialized parameter tree of the target model."""
+  conv_paths = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                jax.tree_util.tree_leaves_with_path(converted)}
+  fresh_paths = {jax.tree_util.keystr(p): np.shape(v) for p, v in
+                 jax.tree_util.tree_leaves_with_path(fresh)}
+  missing = sorted(set(fresh_paths) - set(conv_paths))
+  extra = sorted(set(conv_paths) - set(fresh_paths))
+  mismatched = sorted(k for k in set(conv_paths) & set(fresh_paths)
+                      if conv_paths[k] != fresh_paths[k])
+  if missing or extra or mismatched:
+    lines = []
+    if missing:
+      lines.append(f'missing from checkpoint: {missing[:8]}')
+    if extra:
+      lines.append(f'unconsumed checkpoint leaves: {extra[:8]}')
+    if mismatched:
+      lines.append('shape mismatches: ' + ', '.join(
+          f'{k}: ckpt{conv_paths[k]} vs model{fresh_paths[k]}'
+          for k in mismatched[:8]))
+    raise ValueError('reference checkpoint does not match the configured '
+                     'model:\n  ' + '\n  '.join(lines))
+
+
+# --------------------------------------------------------------------------
+# Reference checkpoint IO
+# --------------------------------------------------------------------------
+
+_CKPT_RE = re.compile(r'^ckpt-(\d+)\.flax$')
+
+
+def _resolve_flax_path(path: str) -> str:
+  """Accept .../ckpt-N, .../ckpt-N.flax, or a directory (latest N wins)."""
+  if os.path.isdir(path):
+    best = None
+    for name in os.listdir(path):
+      m = _CKPT_RE.match(name)
+      if m:
+        n = int(m.group(1))
+        if best is None or n > best[0]:
+          best = (n, os.path.join(path, name))
+    if best is None:
+      raise FileNotFoundError(f'no ckpt-N.flax files under {path}')
+    return best[1]
+  if path.endswith('.flax'):
+    return path
+  return path + '.flax'
+
+
+def load_reference_state(path: str) -> Dict[str, Any]:
+  """Load a reference `ckpt-N` into a plain nested dict
+  {step, params, ema_params, opt_state} (keys as saved)."""
+  flax_path = _resolve_flax_path(path)
+  with open(flax_path, 'rb') as f:
+    state = flax.serialization.msgpack_restore(f.read())
+  logging.info('loaded reference checkpoint %s (keys: %s)', flax_path,
+               sorted(state))
+  return state
+
+
+def reference_step_number(path: str) -> Optional[int]:
+  m = re.search(r'ckpt-(\d+)(?:\.flax)?$', path)
+  return int(m.group(1)) if m else None
+
+
+# --------------------------------------------------------------------------
+# Importer
+# --------------------------------------------------------------------------
+
+
+def import_into_state(state, ref_state: Dict[str, Any], step: int):
+  """Return a copy of TrainState `state` holding the reference checkpoint's
+  params + ema_params (converted) and the given step; optimizer state stays
+  freshly initialized."""
+  import jax.numpy as jnp
+
+  fresh = flax.serialization.to_state_dict(state.params)
+  params = convert_params(ref_state['params'])
+  assert_tree_compatible(params, fresh)
+  ema = convert_params(ref_state.get('ema_params', ref_state['params']))
+  as_jnp = lambda tree: jax.tree.map(jnp.asarray, tree)
+  params = flax.serialization.from_state_dict(state.params, params)
+  ema = flax.serialization.from_state_dict(state.ema_params, ema)
+  return state.replace(step=jnp.asarray(step, jnp.int32),
+                       params=as_jnp(params), ema_params=as_jnp(ema))
+
+
+def import_reference_checkpoint(config, reference_checkpoint: str,
+                                workdir: str) -> int:
+  """Import a reference checkpoint into `workdir/checkpoints` (orbax).
+
+  Returns the imported step number. The resulting checkpoint is what the
+  train loop auto-resumes from and what `--mode eval` / eval_bpd read.
+  """
+  from mulan_tpu.models import build_model, model_config_from_dict
+  from mulan_tpu.train import checkpoint as ckpt_lib
+  from mulan_tpu.train.optimizer import make_lr_schedule, make_optimizer
+  from mulan_tpu.train.state import TrainState
+  import jax.numpy as jnp
+
+  model_config = model_config_from_dict(dict(config.model))
+  model = build_model(config.vdm_type, model_config)
+  rng = jax.random.PRNGKey(0)
+  init_fn = jax.jit(lambda r1, r2: model.init(
+      {'params': r1, 'sample': r2},
+      images=jnp.zeros((2, *model_config.image_shape), 'uint8'),
+      labels=jnp.zeros((2,), 'int32'), conditioning=jnp.zeros((2,)),
+      step=-1.0))
+  params = init_fn(rng, jax.random.fold_in(rng, 1))['params']
+
+  lr_schedule = make_lr_schedule(
+      config.optimizer.learning_rate, config.training.num_steps_lr_warmup,
+      config.training.num_steps_train, config.optimizer.lr_decay)
+  tx = make_optimizer(dict(config.optimizer), lr_schedule,
+                      gamma_lr_scale=config.get('lr_gamma_network_scale',
+                                                1.0))
+  state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+  ref_state = load_reference_state(reference_checkpoint)
+  step = int(np.asarray(ref_state.get('step', 0)))
+  if step == 0:
+    step = reference_step_number(reference_checkpoint) or 0
+  state = import_into_state(state, ref_state, step)
+
+  ckpt = ckpt_lib.CheckpointManager(os.path.join(workdir, 'checkpoints'))
+  ckpt.save(step, jax.device_get(state), force=True)
+  ckpt.wait()
+  logging.info('imported reference checkpoint at step %d into %s', step,
+               workdir)
+  return step
+
+
+def main(argv):
+  del argv
+  from absl import flags
+  FLAGS = flags.FLAGS
+  import_reference_checkpoint(FLAGS.config, FLAGS.reference_checkpoint,
+                              FLAGS.workdir)
+
+
+if __name__ == '__main__':
+  from absl import app, flags
+  from ml_collections import config_flags
+  config_flags.DEFINE_config_file('config', None, 'Model configuration.',
+                                  lock_config=False)
+  flags.DEFINE_string('reference_checkpoint', None,
+                      'Path to a reference ckpt-N[.flax] file or its '
+                      'directory (latest wins).')
+  flags.DEFINE_string('workdir', None, 'Output work directory.')
+  flags.mark_flags_as_required(['config', 'reference_checkpoint', 'workdir'])
+  app.run(main)

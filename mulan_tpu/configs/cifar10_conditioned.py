@@ -15,8 +15,6 @@ def d(**kwargs):
 
 def get_config():
   config = ml_collections.ConfigDict()
-  config.exp_name = 'exp_vdm'
-  config.model_type = 'model_vdm'
   config.ckpt_restore_dir = 'None'
 
   config.data = d(

@@ -73,10 +73,11 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
   """Dense per-timestep VLB sweep, multi-image and mesh-sharded.
 
   For each image, evaluates the ELBO on the stratified grid
-  t_j = (u + j/n_timesteps) mod 1 with one shared random offset u per batch
-  (exactly the t-distribution the reference's antithetic trick induces over
-  its n_timesteps tiled copies). Each grid copy re-samples its own latent
-  embedding and diffusion noise, matching reference semantics.
+  t_j = (u_i + j/n_timesteps) mod 1 with an independent random offset u_i per
+  image (the t-distribution the reference's antithetic trick induces over its
+  n_timesteps tiled copies of a single image, notebook_utils.py:183). Each
+  grid copy re-samples its own latent embedding and diffusion noise, matching
+  reference semantics.
   """
   model = experiment.model
   cfg = experiment.model_config
@@ -106,9 +107,9 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
     """images: (B, H, W, C) -> per-image mean bpd over the t-grid."""
     b = images.shape[0]
     rng, t_rng, elbo_rng = jax.random.split(rng, 3)
-    u = jax.random.uniform(t_rng)
-    grid = (u + jnp.arange(n_timesteps) / n_timesteps) % 1.0  # (T,)
-    t = jnp.tile(grid, (b,))                                  # (B*T,)
+    u = jax.random.uniform(t_rng, (b, 1))
+    grid = (u + jnp.arange(n_timesteps) / n_timesteps) % 1.0  # (B, T)
+    t = grid.reshape(-1)                                      # (B*T,)
     tiled = jnp.repeat(images, n_timesteps, axis=0)
     cond = jnp.repeat(conditioning, n_timesteps, axis=0)
     labs = jnp.repeat(labels, n_timesteps, axis=0)

@@ -24,7 +24,6 @@ config_flags.DEFINE_config_file('config', None, 'Training configuration.',
 flags.DEFINE_string('workdir', None, 'Work unit directory.')
 flags.DEFINE_string('checkpoint', '', 'Checkpoint to evaluate.')
 flags.DEFINE_string('mode', 'train', 'train / eval')
-flags.DEFINE_string('model', 'vdm', 'vdm')
 flags.DEFINE_string('log_level', 'info', 'info/warning/error')
 flags.DEFINE_bool('multiprocess', False,
                   'Call jax.distributed.initialize() (multi-host TPU).')

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+from absl import logging
 from flax import linen as nn
 import jax
 import jax.numpy as jnp
@@ -212,6 +213,14 @@ class AttnBlock(nn.Module):
     scale = 1.0 / np.sqrt(head_dim)
     use_flash = (self.use_pallas and jax.default_backend() == 'tpu'
                  and head_dim % 128 == 0 and t % 512 == 0)
+    if self.use_pallas and not use_flash:
+      # Trace-time (static) check: warn once per compile so a non-flagship
+      # shape never silently loses the flash kernel.
+      logging.warning(
+          'AttnBlock %s: flash attention requested but falling back to the '
+          'XLA einsum path (backend=%s, head_dim=%d needs %%128==0, '
+          'tokens=%d needs %%512==0).', self.name, jax.default_backend(),
+          head_dim, t)
     if use_flash:
       from jax.experimental.pallas.ops.tpu import flash_attention as fa
       out = fa.flash_attention(

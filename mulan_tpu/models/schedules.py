@@ -26,6 +26,8 @@ we drop the dead constant entirely.
 
 from __future__ import annotations
 
+import functools
+
 from flax import linen as nn
 import jax
 import jax.numpy as jnp
@@ -155,6 +157,7 @@ SCALAR_SCHEDULES = {
     'fixed': NoiseScheduleFixedLinear,
     'learnable_nnet': NoiseScheduleNNet,
     'bad_bdm': NoiseScheduleBDM,
+    'good_bdm': functools.partial(NoiseScheduleBDM, good=True),
 }
 
 BLUR_SCHEDULES = {

@@ -77,12 +77,36 @@ def fsdp_sharding(mesh: Mesh, shape) -> NamedSharding:
   return NamedSharding(mesh, P(*spec))
 
 
+# Param groups whose leaves stay replicated even under FSDP. The gamma
+# schedule network is tiny next to the UNet but its outputs feed the
+# dgamma/dt-weighted loss with (B, n_pixels) intermediates; sharding its
+# parameters over 'fsdp' made XLA reshard every gamma gradient through
+# "involuntary full rematerialization" collectives each step. Replicating the
+# group keeps the schedule math local to each chip (its grads still ride the
+# same data-axis psum as everything else).
+REPLICATED_GROUPS = ('gamma',)
+
+
+def _path_replicated(path) -> bool:
+  for entry in path:
+    name = getattr(entry, 'key', getattr(entry, 'name', None))
+    if name in REPLICATED_GROUPS:
+      return True
+  return False
+
+
+def _leaf_sharding(mesh: Mesh, path, x) -> NamedSharding:
+  if _path_replicated(path):
+    return NamedSharding(mesh, P())
+  return fsdp_sharding(mesh, jnp_shape(x))
+
+
 def shard_state(mesh: Mesh, state):
   """Place a TrainState on the mesh: every array leaf gets fsdp_sharding
-  (replicated on a 1-D mesh); params, EMA and adam moments share layouts
-  because they share shapes."""
-  return jax.tree.map(
-      lambda x: jax.device_put(x, fsdp_sharding(mesh, jnp_shape(x))), state)
+  (replicated on a 1-D mesh) except leaves under REPLICATED_GROUPS; params,
+  EMA and adam moments share layouts because they share tree paths."""
+  return jax.tree_util.tree_map_with_path(
+      lambda p, x: jax.device_put(x, _leaf_sharding(mesh, p, x)), state)
 
 
 def jnp_shape(x):
@@ -91,7 +115,8 @@ def jnp_shape(x):
 
 def state_shardings(mesh: Mesh, state):
   """The sharding tree matching `shard_state` (for jit out_shardings)."""
-  return jax.tree.map(lambda x: fsdp_sharding(mesh, jnp_shape(x)), state)
+  return jax.tree_util.tree_map_with_path(
+      lambda p, x: _leaf_sharding(mesh, p, x), state)
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

@@ -59,3 +59,23 @@ def test_fsdp_params_actually_sharded():
   # adam moments share the layout
   nbytes_local = kernel.addressable_shards[0].data.nbytes
   assert nbytes_local < kernel.nbytes
+
+
+def test_fsdp_gamma_group_replicated():
+  """The gamma schedule group must stay replicated under FSDP (sharding it
+  forced involuntary full-rematerialization collectives on every gamma grad,
+  see parallel/mesh.py REPLICATED_GROUPS)."""
+  config = tiny_synthetic.get_config()
+  config.training.fsdp = 2
+  exp = Experiment(config)
+  state = exp._put_state(exp.state)
+  empty = jax.sharding.PartitionSpec()
+  for tree in (state.params['gamma'], state.ema_params['gamma']):
+    leaves = jax.tree.leaves(tree)
+    assert leaves, 'gamma group unexpectedly empty'
+    for leaf in leaves:
+      assert leaf.sharding.spec == empty, leaf.sharding
+  # ...while the UNet is genuinely sharded on the same mesh.
+  shardings = mesh_lib.state_shardings(exp.mesh, exp.state)
+  sm_specs = {str(s.spec) for s in jax.tree.leaves(shardings.params)}
+  assert any('fsdp' in s for s in sm_specs)

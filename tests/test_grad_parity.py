@@ -1,0 +1,153 @@
+"""Gradient-level parity against the ACTUAL reference implementation.
+
+Forward parity (test_reference_parity.py) proves the deterministic functions
+match; this file proves the TRAINED function matches: d(ELBO)/d(params)
+through the score UNet, the learned schedule (analytic dgamma/dt vs the
+reference's jvp), the straight-through top-k latent and the stop_gradient
+structure — elementwise, at float32 tolerance, with frozen randomness.
+
+Randomness is frozen by monkeypatching the three jax.random primitives both
+implementations draw from (uniform for antithetic t, normal for eps_0/eps,
+gamma for the smoothed top-k noise) with shape-seeded deterministic tensors.
+Both sides draw the same shapes at the same semantic points
+(reference model_mulan_epsilon.py:288-328 / model_mulan_velocity.py:194-233
+vs mulan_tpu/models/mulan.py elbo), so shape-seeding makes the draws
+IDENTICAL across implementations without having to align key-derivation
+orders. The diffusion time t is additionally injected explicitly through our
+`elbo(..., t=...)`, computed exactly as the reference's antithetic formula.
+
+Skipped when /root/reference is not present.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = '/root/reference'
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
+                                reason='reference checkout not available')
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+CFG_KW = dict(
+    vocab_size=256, antithetic_time_sampling=True,
+    with_fourier_features=True, with_attention=False,
+    gamma_type='poly_fixedend', gamma_min=-13.3, gamma_max=5.0,
+    sm_n_timesteps=0, sm_n_embd=32, sm_n_layer=2, sm_pdrop=0.1,
+    forward_n_layer=1, latent_size=10, latent_k=3, latent_type='topk',
+    topk_noise_type='gamma', z_conditioning=True, reparam_type='true',
+    encoder='unet', condition='input', unet_type='vdm')
+
+
+def _shape_seed(shape) -> int:
+  seed = 987654321
+  for dim in shape:
+    seed = (seed * 1000003 + int(dim) + 7) % (2 ** 31 - 1)
+  return seed
+
+
+def _frozen_randomness(monkeypatch):
+  """Patch jax.random.{uniform,normal,gamma} with shape-seeded constants."""
+
+  def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0):
+    del key
+    return jnp.full(shape, 0.375, dtype) * (maxval - minval) + minval
+
+  def fake_normal(key, shape=(), dtype=jnp.float32):
+    del key
+    rs = np.random.RandomState(_shape_seed(shape))
+    return jnp.asarray(rs.standard_normal(shape), dtype)
+
+  def fake_gamma(key, a, shape=None, dtype=jnp.float32):
+    del key
+    if shape is None:
+      shape = np.shape(a)
+    rs = np.random.RandomState(_shape_seed(shape) ^ 0x5A5A5A)
+    return jnp.asarray(rs.gamma(float(a), 1.0, size=shape), dtype)
+
+  monkeypatch.setattr(jax.random, 'uniform', fake_uniform)
+  monkeypatch.setattr(jax.random, 'normal', fake_normal)
+  monkeypatch.setattr(jax.random, 'gamma', fake_gamma)
+
+
+def _build(parameterization: str):
+  sys.path.insert(0, REFERENCE)
+  from ldm import model_mulan_epsilon, model_mulan_velocity, model_vdm
+  from mulan_tpu.compat import convert_params
+  from mulan_tpu.models import build_model
+  from mulan_tpu.models.config import ModelConfig
+
+  ref_cls = (model_mulan_epsilon.VDM if parameterization == 'epsilon'
+             else model_mulan_velocity.VDM)
+  ref_cfg = model_vdm.VDMConfig(sample_softmax=False, **CFG_KW)
+  ref_model = ref_cls(ref_cfg)
+  r = jax.random.PRNGKey(0)
+  ref_vars = ref_model.init(
+      {'params': r, 'sample': jax.random.fold_in(r, 1)},
+      images=jnp.zeros((2, 32, 32, 3), 'uint8'),
+      labels=jnp.zeros((2,)), conditioning=jnp.zeros((2,)), step=-1.0)
+
+  ours = build_model('mulan_' + parameterization,
+                     ModelConfig(sample_softmax=False, image_size=32,
+                                 **CFG_KW))
+  params = convert_params(ref_vars['params'])
+  return ref_model, dict(ref_vars['params']), ours, params
+
+
+@pytest.mark.parametrize('parameterization', ['epsilon', 'velocity'])
+def test_elbo_gradients_match(monkeypatch, parameterization):
+  ref_model, ref_params, ours, params, = _build(parameterization)
+  _frozen_randomness(monkeypatch)
+  from mulan_tpu.compat import convert_params
+
+  batch = 4
+  rs = np.random.RandomState(11)
+  images = jnp.asarray(rs.randint(0, 256, (batch, 32, 32, 3)), 'uint8')
+  labels = jnp.zeros((batch,), 'int32')
+  conditioning = jnp.zeros((batch,))
+  rngs = {'sample': jax.random.PRNGKey(123)}  # consumed by patched draws
+  # the exact antithetic grid the reference computes with patched uniform
+  t = jnp.mod(0.375 + jnp.arange(0.0, 1.0, step=1.0 / batch), 1.0)
+
+  def ref_loss(p):
+    out = ref_model.apply({'params': p}, images=images, labels=labels,
+                          conditioning=conditioning, step=100.0,
+                          deterministic=True, rngs=rngs)
+    return jnp.sum(out.loss_recon + out.loss_klz + out.loss_diff)
+
+  def our_loss(p):
+    out = ours.apply({'params': p}, images=images, labels=labels,
+                     conditioning=conditioning, step=100.0, t=t,
+                     deterministic=True, rngs=rngs, method=ours.elbo)
+    return jnp.sum(out.loss_recon + out.loss_klz + out.loss_diff)
+
+  loss_ref, grads_ref = jax.value_and_grad(ref_loss)(ref_params)
+  loss_ours, grads_ours = jax.value_and_grad(our_loss)(params)
+
+  # identical losses under frozen randomness
+  np.testing.assert_allclose(float(loss_ours), float(loss_ref),
+                             rtol=1e-5, atol=1e-5)
+
+  # gradients transplant through the SAME layout mapping as the params
+  # (attention reshapes are pure re-indexing, so grads map identically)
+  grads_ref_mapped = convert_params(grads_ref)
+  flat_ours = jax.tree_util.tree_leaves_with_path(grads_ours)
+  flat_ref = {jax.tree_util.keystr(kp): g for kp, g in
+              jax.tree_util.tree_leaves_with_path(grads_ref_mapped)}
+  assert len(flat_ours) == len(flat_ref)
+  checked = 0
+  for key_path, g_ours in flat_ours:
+    name = jax.tree_util.keystr(key_path)
+    g_ref = flat_ref[name]
+    scale = max(1e-3, float(jnp.max(jnp.abs(g_ref))))
+    np.testing.assert_allclose(
+        np.asarray(g_ours), np.asarray(g_ref), rtol=2e-3, atol=2e-4 * scale,
+        err_msg=f'gradient mismatch at {name}')
+    checked += 1
+  assert checked > 50  # the whole tree, not a token subset
+  # ...and the gradients are not trivially zero
+  gnorm = float(jnp.sqrt(sum(jnp.sum(g * g) for _, g in flat_ours)))
+  assert gnorm > 1e-3, gnorm

@@ -60,56 +60,11 @@ def _our_model():
   return build_model('mulan_epsilon', cfg), cfg
 
 
-def _convert_attn(ref_attn):
-  c = ref_attn['q']['kernel'].shape[0]
-  out = {'GroupNormF32_0': {'GroupNorm_0': ref_attn['GroupNorm_0']}}
-  for name in ('q', 'k', 'v'):
-    out[name] = {'kernel': ref_attn[name]['kernel'].reshape(c, 1, c),
-                 'bias': ref_attn[name]['bias'].reshape(1, c)}
-  out['proj_out'] = {
-      'kernel': ref_attn['proj_out']['kernel'].reshape(1, c, c),
-      'bias': ref_attn['proj_out']['bias']}
-  return out
-
-
-def _convert_block(ref_block):
-  out = {}
-  for name, sub in ref_block.items():
-    if name == 'GroupNorm_0':
-      out['GroupNormF32_0'] = {'GroupNorm_0': sub}
-    elif name == 'GroupNorm_1':
-      out['GroupNormF32_1'] = {'GroupNorm_0': sub}
-    else:
-      out[name] = sub
-  return out
-
-
-def _convert_unet(ref):
-  out = {}
-  for name, sub in ref.items():
-    new = name.replace('.', '_')
-    if 'attn' in name:
-      out[new] = _convert_attn(sub)
-    elif 'block' in name:
-      out[new] = _convert_block(sub)
-    elif name == 'GroupNorm_0':
-      out['GroupNormF32_0'] = {'GroupNorm_0': sub}
-    else:
-      out[new] = sub
-  return out
-
-
 def transplant(ref_params):
-  """Reference param tree -> this framework's layout."""
-  import flax
-  ref = flax.core.unfreeze(ref_params)
-  encoder = _convert_unet(ref['encoder_model'])
-  final = encoder.pop('dense_layer_final')
-  return {
-      'score_model': _convert_unet(ref['score_model']),
-      'encoder_model': {'trunk': encoder, 'dense_layer_final': final},
-      'gamma': ref['gamma'],
-  }
+  """Reference param tree -> this framework's layout (mulan_tpu.compat is
+  the canonical implementation; the importer CLI uses the same code)."""
+  from mulan_tpu.compat import convert_params
+  return convert_params(ref_params)
 
 
 @pytest.fixture(scope='module')
