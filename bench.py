@@ -18,6 +18,7 @@ steps/sec on A100 for this config:
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import time
 
@@ -25,6 +26,18 @@ BASELINE_STEPS_PER_SEC_PER_CHIP = 2.0  # generous A100 estimate, see above
 
 
 def main():
+  # Variant flags (PERF.md rows); the driver runs plain `python bench.py`,
+  # which benches the flagship config unchanged.
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--attention', action='store_true',
+                      help='with_attention=True (attn after every block)')
+  parser.add_argument('--ldm', action='store_true',
+                      help="unet_type='ldm' (per-pixel gamma conditioning)")
+  parser.add_argument('--stacked', action='store_true',
+                      help='shape-stacked adamw')
+  parser.add_argument('--substeps', type=int, default=50)
+  args = parser.parse_args()
+
   import jax
   import numpy as np
 
@@ -35,13 +48,23 @@ def main():
   # 50 steps/dispatch amortizes host dispatch like real training (substeps
   # 1000) while keeping each device dispatch ~12s. (This sandbox's TPU
   # tunnel kills dispatches beyond ~2 minutes; real pods don't care.)
-  substeps = 50
+  substeps = args.substeps
   config = cifar10_conditioned.get_config()
   config.data.dataset = 'synthetic'
   config.data.synthetic_examples = 1024
   config.training.substeps = substeps
   config.training.batch_size_train = 128
   config.training.batch_size_eval = 128
+  variant = ''
+  if args.attention:
+    config.model.with_attention = True
+    variant += '_attn'
+  if args.ldm:
+    config.model.unet_type = 'ldm'
+    variant += '_ldm'
+  if args.stacked:
+    config.optimizer.stacked = True
+    variant += '_stacked'
 
   n_chips = len(jax.devices())
   exp = Experiment(config)
@@ -65,7 +88,8 @@ def main():
   steps_per_sec = substeps / float(np.median(times))
   per_chip = steps_per_sec / n_chips
   print(json.dumps({
-      'metric': 'cifar10_mulan_velocity_train_steps_per_sec_per_chip',
+      'metric': ('cifar10_mulan_velocity_train_steps_per_sec_per_chip'
+                 + variant),
       'value': round(per_chip, 4),
       'unit': 'steps/sec/chip (global batch 128)',
       'vs_baseline': round(per_chip / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),

@@ -1,19 +1,32 @@
-"""Notebook-style analysis and visualization helpers.
+"""Analysis helpers: model probes, schedule visualization, clustering.
 
-Parity: /root/reference/ldm/notebook_utils.py:534-753 — per-embedding noise
-schedules, schedule plots/heatmaps/histograms/animations, embedding
-clustering, t-SNE/PCA/DCT projections. Plot functions are matplotlib-gated
-(import inside the function) so the core library never needs a display stack.
+Capability parity with the notebook analysis layer of the reference
+(/root/reference/ldm/notebook_utils.py:534-753) — probing encoder logits,
+per-embedding noise-schedule curves, clustering images by latent overlap,
+and low-dimensional projections — with an own API design:
+
+  * every visualization RETURNS a matplotlib Figure (no implicit pyplot
+    state), takes explicit geometry/time parameters (nothing hard-coded),
+    and normalizes gamma maps over the whole time grid so frames are
+    comparable;
+  * clustering is greedy leader clustering on COSINE similarity (an
+    absolute [-1, 1] scale with a meaningful threshold), with disjoint
+    clusters, instead of dot-products thresholded relative to their max;
+  * one generic `animate(draw_fn, n_frames)` covers every animation.
+
+matplotlib/sklearn imports are gated inside functions so the core library
+never needs a display stack.
 """
 
 from __future__ import annotations
 
-import collections
-from typing import Optional
+import dataclasses
+from typing import Callable, List, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
+
+_LUMA = np.array([0.2126, 0.7152, 0.0722])  # Rec. 709 luma weights
 
 
 # ---------------------------------------------------------------------------
@@ -23,7 +36,7 @@ import numpy as np
 
 def get_logits(experiment, num_batches: int = 30):
   """Encoder logits + images for a sweep of eval batches
-  (notebook_utils.py:534-546)."""
+  (capability: notebook_utils.py:534-546)."""
   logits, images = [], []
   for _ in range(num_batches):
     batch = next(experiment.eval_iter)
@@ -39,7 +52,8 @@ def noise_schedule_per_embedding(experiment, embeddings,
                                  time_steps: Optional[jnp.ndarray] = None,
                                  n_grid: int = 128):
   """gamma(z, t) curves over a t-grid for each embedding
-  (notebook_utils.py:554-568); returns a list of (n_grid, n_pixels)."""
+  (capability: notebook_utils.py:554-568); returns a list of
+  (n_grid, n_pixels) arrays."""
   if time_steps is None:
     time_steps = jnp.linspace(0, 1, n_grid)
   params = {'params': experiment.state.ema_params}
@@ -53,7 +67,7 @@ def noise_schedule_per_embedding(experiment, embeddings,
 
 def get_embedding(batch_size: int = 2, latent_size: int = 50, k: int = 15,
                   shift: int = 0):
-  """Shifted canonical top-k pattern (notebook_utils.py:582-586)."""
+  """Shifted canonical top-k pattern (capability: notebook_utils.py:582-586)."""
   ones = jnp.ones((batch_size, k))
   zeros = jnp.zeros((batch_size, latent_size - k))
   return jnp.roll(jnp.concatenate([ones, zeros], axis=1), shift=shift,
@@ -61,68 +75,104 @@ def get_embedding(batch_size: int = 2, latent_size: int = 50, k: int = 15,
 
 
 # ---------------------------------------------------------------------------
-# Clustering by embedding similarity (notebook_utils.py:669-710)
+# Clustering by latent similarity
 # ---------------------------------------------------------------------------
 
 
-class Clustering:
-  """Groups images whose hard embeddings have high dot-product overlap."""
+@dataclasses.dataclass
+class EmbeddingClusters:
+  """Disjoint clusters of examples with similar hard latents.
 
-  def __init__(self, images, logits, embeddings, noise_schedules,
-               threshold: float = 0.8):
-    self.images = np.asarray(images)
-    self.noise_schedules = noise_schedules
-    self.clusters = collections.defaultdict(list)
-    emb = np.asarray(embeddings)
-    self.dotp = emb @ emb.T
-    self.threshold = threshold * np.max(self.dotp)
+  `assignment[i]` is the cluster id of example i (or -1 for unclustered
+  singletons); `members(c)` lists a cluster's examples, leader first.
+  """
 
-  def cluster_indices(self, cluster_count: int = 20,
-                      cluster_size_max: int = 10):
-    """Returns a list of index lists, one per cluster."""
-    seeds = np.where(np.sum(self.dotp > self.threshold, axis=0) > 1)[0]
-    clusters = []
-    for i in seeds[:cluster_count]:
-      members = [int(i)]
-      for j in np.where(self.dotp[i] > self.threshold)[0]:
-        if j == i:
-          continue
-        members.append(int(j))
-        if len(members) == cluster_size_max:
-          break
-      clusters.append(members)
-    return clusters
+  assignment: np.ndarray       # (N,) int
+  leaders: np.ndarray          # (n_clusters,) leader example index
+  similarity: np.ndarray       # (N, N) cosine similarity
 
-  def print_clusters(self, cluster_count: int = 20,
-                     cluster_size_max: int = 10):
-    import matplotlib.pyplot as plt
-    schedules = []
-    for members in self.cluster_indices(cluster_count, cluster_size_max):
-      fig = plt.figure(figsize=(len(members), 1))
-      for pos, idx in enumerate(members):
-        fig.add_subplot(1, len(members), pos + 1)
-        plt.imshow(self.images[idx])
-        plt.xticks([])
-        plt.yticks([])
-      schedules.append(self.noise_schedules[members[0]])
-    plt.figure()
-    for ns in schedules:
-      plt.plot([np.mean(ns_pixel) for ns_pixel in ns])
-      plt.ylabel(r'$\gamma(t)$')
-      plt.xlabel('$t$')
-    plt.title('Noise schedule for an image from each cluster')
+  @property
+  def n_clusters(self) -> int:
+    return len(self.leaders)
+
+  def members(self, cluster_id: int) -> List[int]:
+    idx = np.where(self.assignment == cluster_id)[0].tolist()
+    leader = int(self.leaders[cluster_id])
+    return [leader] + [i for i in idx if i != leader]
+
+
+def cluster_embeddings(embeddings, *, min_cosine: float = 0.9,
+                       min_size: int = 2,
+                       max_size: Optional[int] = None) -> EmbeddingClusters:
+  """Greedy leader clustering on cosine similarity.
+
+  Examples are visited in order; each unassigned example becomes the leader
+  of a new cluster containing every other unassigned example whose cosine
+  similarity to it is >= `min_cosine`. Clusters smaller than `min_size`
+  are dissolved (assignment -1). For hard top-k latents with k active
+  entries, cosine similarity m/k counts the shared support m — e.g. with
+  k=15, min_cosine=0.9 requires 14 of 15 shared latents.
+  """
+  emb = np.asarray(embeddings, np.float64)
+  norms = np.linalg.norm(emb, axis=1, keepdims=True)
+  unit = emb / np.maximum(norms, 1e-12)
+  sim = unit @ unit.T
+
+  n = len(emb)
+  assignment = np.full(n, -1, np.int64)
+  leaders: List[int] = []
+  for i in range(n):
+    if assignment[i] != -1:
+      continue
+    mates = [j for j in range(n)
+             if assignment[j] == -1 and sim[i, j] >= min_cosine]
+    if max_size is not None:
+      mates = mates[:max_size]
+    if len(mates) < min_size:
+      continue
+    cid = len(leaders)
+    assignment[np.asarray(mates)] = cid
+    leaders.append(i)
+  return EmbeddingClusters(assignment=assignment,
+                           leaders=np.asarray(leaders, np.int64),
+                           similarity=sim)
+
+
+def cluster_gallery(images, clusters: EmbeddingClusters, *,
+                    max_clusters: int = 16, row_height: float = 1.2):
+  """One image row per cluster (leader first). Returns a Figure."""
+  import matplotlib.pyplot as plt
+  images = np.asarray(images)
+  rows = [clusters.members(c)
+          for c in range(min(clusters.n_clusters, max_clusters))]
+  if not rows:
+    return plt.figure()
+  width = max(len(r) for r in rows)
+  fig, axes = plt.subplots(len(rows), width,
+                           figsize=(width * row_height,
+                                    len(rows) * row_height),
+                           squeeze=False)
+  for r, members in enumerate(rows):
+    for c in range(width):
+      ax = axes[r][c]
+      ax.set_axis_off()
+      if c < len(members):
+        ax.imshow(images[members[c]])
+        if c == 0:
+          ax.set_title(f'#{r}', fontsize=8)
+  fig.tight_layout(pad=0.1)
+  return fig
 
 
 # ---------------------------------------------------------------------------
-# Projections (notebook_utils.py:713-733)
+# Projections
 # ---------------------------------------------------------------------------
 
 
 def pca_transformation(data, n_components: int = 4):
   from sklearn.decomposition import PCA
-  pca = PCA(n_components=n_components, svd_solver='full')
-  pca.fit(data)
-  return pca.fit_transform(data)
+  return PCA(n_components=n_components,
+             svd_solver='full').fit_transform(np.asarray(data))
 
 
 def tsne_transformation(data, perplexity: int = 25):
@@ -131,101 +181,113 @@ def tsne_transformation(data, perplexity: int = 25):
 
 
 def dct2(image):
-  """2-D DCT of a grayscale-converted image (notebook_utils.py:730-733)."""
+  """Type-II orthonormal 2-D DCT of an image (luma-converted if RGB)."""
   import scipy.fftpack
   image = np.asarray(image, np.float64)
   if image.ndim == 3:
-    image = image @ np.array([0.2125, 0.7154, 0.0721])
+    image = image @ _LUMA
   return scipy.fftpack.dct(
-      scipy.fftpack.dct(image.T, norm='ortho').T, norm='ortho')
+      scipy.fftpack.dct(image, axis=0, norm='ortho'), axis=1, norm='ortho')
 
 
 # ---------------------------------------------------------------------------
-# Plots (notebook_utils.py:571-667)
+# Schedule visualization — figure-returning, geometry-parameterized
 # ---------------------------------------------------------------------------
 
 
-def plot_noise_schedule(noise_schedules, epoch=''):
+def schedule_curves(gamma_grids: Sequence[np.ndarray],
+                    labels: Optional[Sequence[str]] = None,
+                    reduce: Callable = np.mean):
+  """Pixel-reduced gamma(t) curve per grid ((T, n_pixels) each); one axes,
+  shared scale. Returns a Figure."""
   import matplotlib.pyplot as plt
-  plt.figure()
-  plt.plot(np.asarray(noise_schedules[0]))
-  plt.title(f'Noise schedule per pixel for an input epoch:{epoch}')
-  plt.ylabel(r'$\gamma(t)$')
-  plt.xlabel('$t$')
-
-
-def plot_heat_map(noise_schedules, image_shape=(32, 32, 3), count: int = 3,
-                  num_cols: int = 10):
-  import matplotlib.pyplot as plt
-  for ns in noise_schedules[:count]:
-    ns = np.asarray(ns)
-    fig = plt.figure(figsize=(6, 6))
-    for t in range(num_cols):
-      fig.add_subplot(1, num_cols, t + 1)
-      nspp = ns[int(ns.shape[0] * t / num_cols)].reshape(image_shape)
-      nspp = nspp[2:-2, 2:-2, :]
-      nspp = (nspp - nspp.min()) / (nspp.max() - nspp.min() + 1e-12)
-      gray = nspp @ np.array([0.2125, 0.7154, 0.0721])
-      plt.imshow(gray, cmap='hot', interpolation='nearest')
-      plt.title('t={:.1f}'.format(t / num_cols), fontsize=8)
-      plt.xticks([])
-      plt.yticks([])
-
-
-def plot_sequence_images(image_array, dpi: float = 100.0, interval=800):
-  """Animate an image sequence in a notebook (notebook_utils.py:588-607)."""
-  import matplotlib.pyplot as plt
-  from matplotlib import animation
-  fig = plt.figure(
-      figsize=(image_array[0].shape[1] / dpi,
-               image_array[0].shape[0] / dpi), dpi=dpi)
-  im = plt.figimage(image_array[0])
-
-  def animate(i):
-    im.set_array(image_array[i])
-    return (im,)
-
-  return animation.FuncAnimation(fig, animate, frames=len(image_array),
-                                 interval=interval, repeat=True)
-
-
-def animate_noise_schedule(noise_schedules, interval=800):
-  """Animate schedule curves over training (notebook_utils.py:610-627)."""
-  import matplotlib.pyplot as plt
-  from matplotlib import animation
   fig, ax = plt.subplots()
+  for i, grid in enumerate(gamma_grids):
+    grid = np.asarray(grid)
+    t = np.linspace(0, 1, grid.shape[0])
+    label = labels[i] if labels is not None else None
+    ax.plot(t, reduce(grid, axis=1), label=label)
+  ax.set_xlabel('t')
+  ax.set_ylabel(r'$\gamma(t)$')
+  if labels is not None:
+    ax.legend(fontsize=8)
+  return fig
 
-  def animate(i):
-    ax.clear()
-    ax.plot(np.asarray(noise_schedules[i]))
 
-  return animation.FuncAnimation(fig, animate, frames=len(noise_schedules),
-                                 interval=interval, repeat=True)
+def schedule_heatmap(gamma_grid: np.ndarray, image_shape, *,
+                     times: Sequence[float] = (0, .25, .5, .75, 1.0),
+                     cmap: str = 'magma', panel_inches: float = 1.6):
+  """Per-pixel gamma maps at selected times, one panel per t.
 
-
-def animate_scatter(xs, ys, cs, interval=800):
-  """Animated embedding scatter (notebook_utils.py:736-753)."""
+  Normalization is over the WHOLE (T, n_pixels) grid — panels share a color
+  scale so spatial structure is comparable across time. Returns a Figure.
+  """
   import matplotlib.pyplot as plt
-  from matplotlib import animation
+  grid = np.asarray(gamma_grid)
+  lo, hi = grid.min(), grid.max()
+  fig, axes = plt.subplots(1, len(times),
+                           figsize=(panel_inches * len(times),
+                                    panel_inches), squeeze=False)
+  for ax, t in zip(axes[0], times):
+    row = grid[min(int(round(t * (grid.shape[0] - 1))), grid.shape[0] - 1)]
+    img = row.reshape(image_shape)
+    if img.ndim == 3:
+      # Luma-collapse channels; _LUMA sums to 1 so [lo, hi] still bounds it.
+      img = img @ _LUMA if img.shape[-1] == 3 else img.mean(axis=-1)
+    ax.imshow(img, cmap=cmap, vmin=lo, vmax=hi, interpolation='nearest')
+    ax.set_title(f't={t:.2f}', fontsize=8)
+    ax.set_axis_off()
+  fig.tight_layout(pad=0.1)
+  return fig
+
+
+def schedule_histograms(gamma_grid: np.ndarray, *,
+                        times: Sequence[float] = (0, .5, 1.0),
+                        bins: int = 64, panel_inches: float = 1.6):
+  """Distribution of per-pixel gamma at selected times; shared x-range
+  (the grid's global [min, max]). Returns a Figure."""
+  import matplotlib.pyplot as plt
+  grid = np.asarray(gamma_grid)
+  lo, hi = float(grid.min()), float(grid.max())
+  fig, axes = plt.subplots(1, len(times),
+                           figsize=(panel_inches * len(times),
+                                    panel_inches), squeeze=False)
+  for ax, t in zip(axes[0], times):
+    row = grid[min(int(round(t * (grid.shape[0] - 1))), grid.shape[0] - 1)]
+    ax.hist(row, bins=bins, range=(lo, hi + 1e-9))
+    ax.set_title(f't={t:.2f}', fontsize=8)
+    ax.set_yticks([])
+  fig.tight_layout(pad=0.1)
+  return fig
+
+
+def embedding_scatter(points: np.ndarray, colors=None):
+  """2-D scatter of projected embeddings (pca/tsne output). Returns a
+  Figure."""
+  import matplotlib.pyplot as plt
+  points = np.asarray(points)
   fig, ax = plt.subplots()
-
-  def animate(i):
-    ax.clear()
-    ax.axis([-2, 2, -2, 2])
-    ax.scatter(xs[i], ys[i], c=(cs[i] > np.mean(cs[i])))
-
-  return animation.FuncAnimation(fig, animate, frames=len(xs),
-                                 interval=interval, repeat=True)
+  ax.scatter(points[:, 0], points[:, 1], c=colors, s=12)
+  return fig
 
 
-def plot_histogram(noise_schedules, count: int = 3, num_cols: int = 5):
+def animate(draw_fn: Callable[[object, int], None], n_frames: int, *,
+            interval_ms: int = 200, figsize=None):
+  """Generic notebook animation: `draw_fn(ax, frame)` redraws each frame.
+
+  Covers image sequences, evolving schedules, and scatter trajectories with
+  one primitive:
+    animate(lambda ax, i: ax.imshow(frames[i]), len(frames))
+  Returns a matplotlib FuncAnimation (display with HTML(anim.to_jshtml())).
+  """
   import matplotlib.pyplot as plt
-  for ns in noise_schedules[:count]:
-    ns = np.asarray(ns)
-    ns = (ns - ns.min()) / (ns.max() - ns.min() + 1e-12)
-    fig = plt.figure(figsize=(num_cols, 1))
-    for t in range(num_cols):
-      fig.add_subplot(1, num_cols, t + 1)
-      plt.hist(ns[int(ns.shape[0] * t / num_cols)], bins=100)
-      plt.xticks([])
-      plt.yticks([])
+  from matplotlib import animation as mpl_animation
+  fig, ax = plt.subplots(figsize=figsize)
+
+  def _frame(i):
+    ax.clear()
+    draw_fn(ax, i)
+    return ()
+
+  return mpl_animation.FuncAnimation(fig, _frame, frames=n_frames,
+                                     interval=interval_ms, repeat=True)

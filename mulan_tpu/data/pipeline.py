@@ -18,12 +18,15 @@ jit'd train step:
     device compute.
 
 Sources: TFDS (gated on the package + prepared data being present), a local
-.npz directory, or deterministic synthetic data (tests/benchmarks — the
+.npz directory, a memory-mapped .npy directory (streams batches off disk —
+the path for datasets too large to hold resident, e.g. imagenet64 at
+~16 GB/host), or deterministic synthetic data (tests/benchmarks — the
 hermetic default in environments without dataset access).
 
 Dataset keys supported (parity with dataset.py:65-246): cifar10, cifar10_aug,
 imagenet32 (TFDS `downsampled_imagenet/32x32`), imagenet64, fashion_mnist32,
-plus `synthetic` and `npz:<path>`.
+plus `synthetic`, `npz:<path>` (in-RAM) and `npy:<path>` (memmap streaming;
+see `export_npy_memmap` for the one-time conversion).
 """
 
 from __future__ import annotations
@@ -136,6 +139,31 @@ def _load_npz(path: str, split: str) -> ArraySource:
   return ArraySource(np.asarray(data['images'], np.uint8), labels)
 
 
+def _load_npy_memmap(path: str, split: str) -> ArraySource:
+  """Memory-mapped source: `<path>/<split>_images.npy` (uint8 NHWC) +
+  optional `<path>/<split>_labels.npy`.
+
+  The images array is an np.memmap — batches are read off disk on demand
+  (train_iterator's fancy indexing materializes only the selected rows), so
+  imagenet64-scale datasets (~16 GB) never need to be host-RAM resident.
+  `host_shard`'s basic slicing preserves the memmap, so each host maps only
+  its contiguous byte range. Export format via `export_npy_memmap`.
+  """
+  images = np.load(os.path.join(path, f'{split}_images.npy'), mmap_mode='r')
+  labels_path = os.path.join(path, f'{split}_labels.npy')
+  labels = (np.load(labels_path) if os.path.exists(labels_path)
+            else np.zeros(len(images)))
+  return ArraySource(images, labels)
+
+
+def export_npy_memmap(source: ArraySource, path: str, split: str) -> None:
+  """Write a source in the `npy:<path>` memmap layout (one-time conversion
+  of a TFDS/npz dataset for streaming training)."""
+  os.makedirs(path, exist_ok=True)
+  np.save(os.path.join(path, f'{split}_images.npy'), source.images)
+  np.save(os.path.join(path, f'{split}_labels.npy'), source.labels)
+
+
 def _synthetic(seed: int, n: int, image_shape) -> ArraySource:
   rng = np.random.default_rng(seed)
   # Low-frequency blobs rather than white noise so losses are non-trivial.
@@ -181,6 +209,8 @@ def load_source(dataset: str, split: str, *, image_shape=(32, 32, 3),
     return _synthetic(seed, n, image_shape)
   if dataset.startswith('npz:'):
     return _load_npz(dataset[len('npz:'):], split)
+  if dataset.startswith('npy:'):
+    return _load_npy_memmap(dataset[len('npy:'):], split)
   if dataset == 'dtd_shapes3d':
     # Mixture of two TFDS sets, resized, with offset dtd labels
     # (dataset.py:139-171).

@@ -39,6 +39,13 @@ flags.DEFINE_string('hutchinson_type', 'Rademacher',
 flags.DEFINE_string('dequantization', 'tn', 'tn / uniform dequantization.')
 flags.DEFINE_float('rtol', 1e-5, 'rtol for the ODE solver.')
 flags.DEFINE_float('atol', 1e-5, 'atol for the ODE solver.')
+flags.DEFINE_float('first_step', 0.01, 'Initial ODE solver step size.')
+flags.DEFINE_integer('max_steps', 5000,
+                     'ODE solver step budget per solve; an unconverged '
+                     'solve raises (or is excluded with '
+                     '--on_solver_failure=warn).')
+flags.DEFINE_string('on_solver_failure', 'raise',
+                    'raise / warn when an ODE solve hits max_steps.')
 flags.DEFINE_bool('multiprocess', False,
                   'Call jax.distributed.initialize() (multi-host TPU).')
 flags.mark_flags_as_required(['config', 'checkpoint_directory'])
@@ -76,7 +83,9 @@ def main(argv):
         dequantization=FLAGS.dequantization,
         deterministic_noise=FLAGS.deterministic_noise,
         num_iters=FLAGS.num_iters, num_is=FLAGS.n_is,
-        rtol=FLAGS.rtol, atol=FLAGS.atol)
+        rtol=FLAGS.rtol, atol=FLAGS.atol,
+        first_step=FLAGS.first_step, max_steps=FLAGS.max_steps,
+        on_solver_failure=FLAGS.on_solver_failure)
   else:
     raise ValueError(f'unknown --bpd_eval_method: {FLAGS.bpd_eval_method!r}')
 

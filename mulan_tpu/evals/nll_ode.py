@@ -79,12 +79,20 @@ def make_ode_likelihood_fn(model, model_config, *,
                            rtol: float = 1e-5, atol: float = 1e-5,
                            dequantization: str = 'tn',
                            high_precision: bool = True,
-                           max_steps: int = 5000):
+                           max_steps: int = 5000,
+                           first_step: float = 0.01,
+                           odeint=odeint_dopri5):
   """Returns jit-able likelihood(params, rng, images) ->
-  (log_p, log_q_eps, aux_latent_loss), each (B,).
+  (log_p, log_q_eps, aux_latent_loss, stats): the first three are (B,);
+  `stats` carries the solver diagnostics {nfe, num_steps, num_rejected,
+  success} — callers MUST check `success` (a maxed-out solve yields an
+  unconverged log_p).
 
   log_q_eps is 0 for uniform dequantization (the IS correction is then the
   constant offset instead, reference notebook_utils.py:322-326, 446-449).
+  `odeint` is injectable so tests can run the SAME likelihood through a
+  host-side float64 scipy solve (the reference architecture,
+  notebook_utils.py:350-361) for tolerance sweeps.
   """
   cfg = model_config
   d = cfg.n_pixels
@@ -134,12 +142,14 @@ def make_ode_likelihood_fn(model, model_config, *,
       return jnp.concatenate([fx.reshape(b, d), div[:, None]], axis=1)
 
     y0 = jnp.concatenate([data.reshape(b, d), jnp.zeros((b, 1))], axis=1)
-    sol = odeint_dopri5(ode_func, y0, 0.0, 1.0, rtol=rtol, atol=atol,
-                        max_steps=max_steps)
+    sol = odeint(ode_func, y0, 0.0, 1.0, rtol=rtol, atol=atol,
+                 max_steps=max_steps, first_step=first_step)
     z1 = sol.y[:, :d].reshape(data.shape)
     delta_logp = sol.y[:, d]
     log_p = _prior_logp(z1) + delta_logp
-    return log_p, log_q_eps, aux_latent_loss
+    stats = {'nfe': sol.nfe, 'num_steps': sol.num_steps,
+             'num_rejected': sol.num_rejected, 'success': sol.success}
+    return log_p, log_q_eps, aux_latent_loss, stats
 
   return likelihood
 
@@ -150,19 +160,31 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
                  deterministic_noise: bool = False, params=None,
                  batch_size: Optional[int] = None,
                  max_batches: Optional[int] = None,
-                 high_precision: bool = True) -> float:
+                 high_precision: bool = True,
+                 first_step: float = 0.01, max_steps: int = 5000,
+                 on_solver_failure: str = 'raise') -> float:
   """Importance-weighted exact-NLL BPD over the eval split
   (notebook_utils.py:461-531). `deterministic_noise` reuses one Hutchinson
   draw across IS samples (reference flag); noise is always fixed within a
-  solve (see module docstring)."""
+  solve (see module docstring).
+
+  Every solve's `success` flag is checked: an unconverged (max_steps-hit)
+  solve either raises (default) or, with on_solver_failure='warn', logs an
+  error and EXCLUDES that batch from the mean — never silently averages
+  garbage. Per-batch NFE is logged so solver cost on stiff trained
+  schedules is visible.
+  """
   del deterministic_noise  # within-solve noise is always fixed on device
+  if on_solver_failure not in ('raise', 'warn'):
+    raise ValueError(f'on_solver_failure: {on_solver_failure!r}')
   model = experiment.model
   cfg = experiment.model_config
   if params is None:
     params = experiment.state.ema_params
   likelihood = make_ode_likelihood_fn(
       model, cfg, hutchinson_type=hutchinson_type, rtol=rtol, atol=atol,
-      dequantization=dequantization, high_precision=high_precision)
+      dequantization=dequantization, high_precision=high_precision,
+      first_step=first_step, max_steps=max_steps)
   likelihood = jax.jit(likelihood)
   offset = bpd_offset(dequantization, num_is, cfg.gamma_min)
   sharding = mesh_lib.batch_sharding(experiment.mesh)
@@ -173,17 +195,33 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
     rng, iter_rng = jax.random.split(rng)
     loader = data_lib.create_one_time_eval_dataset(config, batch_size)
     bpds = []
+    total_nfe = 0
     for bi, batch in enumerate(loader):
       if max_batches is not None and bi >= max_batches:
         break
       images = jax.device_put(batch['images'], sharding)
       log_ps, log_qs = [], []
       aux = None
+      batch_nfe = 0
+      batch_ok = True
       for _ in range(num_is):
         iter_rng, is_rng = jax.random.split(iter_rng)
-        log_p, log_q, aux = likelihood(params, is_rng, images)
+        log_p, log_q, aux, stats = likelihood(params, is_rng, images)
+        if not bool(stats['success']):
+          msg = (f'ODE solve hit max_steps={max_steps} without converging '
+                 f'(batch {bi}, nfe={int(stats["nfe"])}, '
+                 f'rejected={int(stats["num_rejected"])}); raise max_steps '
+                 f'or loosen rtol/atol ({rtol}/{atol}).')
+          if on_solver_failure == 'raise':
+            raise RuntimeError(msg)
+          logging.error('%s — batch excluded from the BPD mean.', msg)
+          batch_ok = False
+          break
+        batch_nfe += int(stats['nfe'])
         log_ps.append(log_p)
         log_qs.append(log_q)
+      if not batch_ok:
+        continue
       log_ps = jnp.stack(log_ps)
       log_qs = jnp.stack(log_qs)
       if num_is == 1:
@@ -194,7 +232,13 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
       bpd = float(jnp.mean(-iws + aux) / (cfg.n_pixels * np.log(2.0))
                   + offset)
       bpds.append(bpd)
-      logging.info('ode eval batch %d: cum bpd %.4f', bi, np.mean(bpds))
+      total_nfe += batch_nfe
+      logging.info('ode eval batch %d: cum bpd %.4f (nfe %d, mean nfe/solve '
+                   '%.0f)', bi, np.mean(bpds), batch_nfe,
+                   total_nfe / (len(bpds) * num_is))
+    if not bpds:
+      raise RuntimeError('every ODE batch failed to converge; raise '
+                         'max_steps or loosen rtol/atol.')
     iter_means.append(float(np.mean(bpds)))
     logging.info('[iter %d] test bpd: %.4f', it, iter_means[-1])
   return float(np.mean(iter_means))

@@ -276,7 +276,9 @@ class Experiment:
     samples = self._p_sample(ema_params, self._sample_rng, batch_size, T)
     if jax.process_count() > 1:
       from jax.experimental import multihost_utils
-      samples = multihost_utils.process_allgather(samples)
+      # tiled: the jit output is a global (non-fully-addressable) array;
+      # this fetches the assembled global value onto every host.
+      samples = multihost_utils.process_allgather(samples, tiled=True)
     return image_grid(np.asarray(jax.device_get(samples)).astype(np.uint8))
 
   def evaluate(self, logdir: str, checkpoint_dir: str):

@@ -79,6 +79,11 @@ def make_optimizer(optimizer_config: Mapping[str, Any], lr_schedule,
 
   if cfg.get('fused', False):
     return make_fused_adamw(args, lr_schedule, gamma_lr_scale, clip_norm)
+  if cfg.get('stacked', False):
+    tx = make_stacked_adamw(args, lr_schedule, gamma_lr_scale)
+    if clip_norm is not None:
+      tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
 
   def adamw(schedule):
     return optax.adamw(learning_rate=schedule, mask=_decay_mask, **args)
@@ -158,6 +163,91 @@ def make_fused_adamw(args: Mapping[str, Any], lr_schedule,
     lr = lr_schedule(state.count)
     upd = (-lr * lr_scale) * upd
     return unravel(upd), FusedAdamState(count=count, mu=mu, nu=nu)
+
+  return optax.GradientTransformation(init, update)
+
+
+class StackedAdamState(NamedTuple):
+  count: jax.Array
+  mu: tuple  # per shape-group (n_leaves, *shape) float32 first moments
+  nu: tuple  # second moments
+
+
+def _shape_groups(params, gamma_lr_scale: float):
+  """Deterministic grouping of leaves by (shape, dtype, decay, lr-scale).
+
+  Decay/lr-scale are part of the key so every group is attribute-uniform
+  (no per-leaf masks inside the stacked update)."""
+  flat = flax.traverse_util.flatten_dict(
+      flax.serialization.to_state_dict(params))
+  groups: dict = {}
+  for path in sorted(flat):
+    leaf = flat[path]
+    decay = path[-1] != 'bias'
+    scale = 1.0 if path[0] == 'score_model' else gamma_lr_scale
+    key = (tuple(jnp.shape(leaf)), jnp.result_type(leaf).name, decay, scale)
+    groups.setdefault(key, []).append(path)
+  return sorted(groups.items(), key=lambda kv: repr(kv[0]))
+
+
+def make_stacked_adamw(args: Mapping[str, Any], lr_schedule,
+                       gamma_lr_scale: float = 1.0
+                       ) -> optax.GradientTransformation:
+  """adamw over SHAPE-STACKED leaves (optax.adamw semantics).
+
+  The default per-leaf optax chain emits one small update fusion per leaf —
+  741 for the flagship UNet, ~20% of summed op time on v5e (docs/PERF.md).
+  Here leaves of identical (shape, dtype, decay, lr-scale) are stacked into
+  one (n, *shape) array (e.g. the ~60 (3,3,128,128) conv kernels become a
+  single tensor), the adam+decay update runs once per group (~30 fusions
+  total), and the per-leaf slices are handed back for apply_updates. The
+  extra stack/unstack traffic is a few hundred MB/step — ~1 ms of HBM time
+  against tens of ms of fusion overhead. Validated equivalent to the optax
+  two-group chain in tests/test_fused_optimizer.py."""
+  b1 = args.get('b1', 0.9)
+  b2 = args.get('b2', 0.999)
+  eps = args.get('eps', 1e-8)
+  wd = args.get('weight_decay', 1e-4)
+
+  def init(params):
+    groups = _shape_groups(params, gamma_lr_scale)
+    mu = tuple(jnp.zeros((len(paths), *key[0]), jnp.float32)
+               for key, paths in groups)
+    nu = tuple(jnp.zeros((len(paths), *key[0]), jnp.float32)
+               for key, paths in groups)
+    return StackedAdamState(count=jnp.zeros((), jnp.int32), mu=mu, nu=nu)
+
+  def update(grads, state, params):
+    assert params is not None
+    flat_g = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(grads))
+    flat_p = flax.traverse_util.flatten_dict(
+        flax.serialization.to_state_dict(params))
+    groups = _shape_groups(params, gamma_lr_scale)
+    count = state.count + 1
+    c = count.astype(jnp.float32)
+    lr = lr_schedule(state.count)
+    new_mu, new_nu = [], []
+    flat_u = {}
+    for gi, ((_, _, decay, scale), paths) in enumerate(groups):
+      g = jnp.stack([flat_g[p] for p in paths]).astype(jnp.float32)
+      mu = b1 * state.mu[gi] + (1 - b1) * g
+      nu = b2 * state.nu[gi] + (1 - b2) * jnp.square(g)
+      mu_hat = mu / (1 - b1 ** c)
+      nu_hat = nu / (1 - b2 ** c)
+      upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+      if decay:
+        p = jnp.stack([flat_p[q] for q in paths]).astype(jnp.float32)
+        upd = upd + wd * p
+      upd = (-lr * scale) * upd
+      for i, path in enumerate(paths):
+        flat_u[path] = upd[i].astype(jnp.result_type(flat_p[path]))
+      new_mu.append(mu)
+      new_nu.append(nu)
+    updates = flax.serialization.from_state_dict(
+        grads, flax.traverse_util.unflatten_dict(flat_u))
+    return updates, StackedAdamState(count=count, mu=tuple(new_mu),
+                                     nu=tuple(new_nu))
 
   return optax.GradientTransformation(init, update)
 

@@ -1,0 +1,76 @@
+"""Worker for the 2-process CPU integration test.
+
+Launched as a subprocess by tests/test_multiprocess.py (never imported by
+pytest itself). Exercises the REAL multi-host path end-to-end on a local
+2-process x 4-virtual-CPU-device "pod":
+
+  * jax.distributed.initialize() against a local coordinator — the TPU
+    equivalent of the reference's env-based multi-host setup
+    (/root/reference/ldm/main.py:45,55-56);
+  * per-host data shards assembled into global arrays via
+    jax.make_array_from_process_local_data (parallel/mesh.py shard_batch) —
+    the reference's get_read_instruction_for_host contract
+    (dataset.py:264-265);
+  * the full train_and_evaluate loop: jit(scan) super-steps, eval on EMA
+    params, cross-process sample allgather, and a multi-host orbax
+    checkpoint save;
+  * auto-resume: the saved checkpoint restores into a fresh state on every
+    process.
+"""
+
+import argparse
+import os
+import sys
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--process_id', type=int, required=True)
+  parser.add_argument('--num_processes', type=int, required=True)
+  parser.add_argument('--coordinator', required=True)
+  parser.add_argument('--workdir', required=True)
+  parser.add_argument('--devices_per_process', type=int, default=4)
+  args = parser.parse_args()
+
+  import jax
+  # The sandbox sitecustomize registers a TPU backend in every process; force
+  # CPU in-process (the JAX_PLATFORMS env var does NOT override it).
+  jax.config.update('jax_platforms', 'cpu')
+  jax.config.update('jax_num_cpu_devices', args.devices_per_process)
+  try:
+    jax.config.update('jax_cpu_collectives_implementation', 'gloo')
+  except Exception:
+    pass  # newer jax defaults to gloo for multi-process CPU
+  jax.distributed.initialize(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
+  assert jax.process_count() == args.num_processes, jax.process_count()
+  expected_devices = args.devices_per_process * args.num_processes
+  assert jax.device_count() == expected_devices, jax.device_count()
+  assert jax.local_device_count() == args.devices_per_process
+
+  import numpy as np
+  from mulan_tpu.configs import tiny_synthetic
+  from mulan_tpu.train import checkpoint as ckpt_lib
+  from mulan_tpu.train.loop import Experiment
+
+  config = tiny_synthetic.get_config()
+  exp = Experiment(config)
+  exp.train_and_evaluate(args.workdir)
+  num_steps = config.training.num_steps_train
+  assert int(exp.state.step) == num_steps, exp.state.step
+
+  # Auto-resume path: the multi-host checkpoint restores on every process.
+  mngr = ckpt_lib.CheckpointManager(os.path.join(args.workdir, 'checkpoints'))
+  assert mngr.latest_step() == num_steps, mngr.latest_step()
+  restored = mngr.restore(exp.state)
+  np.testing.assert_array_equal(np.asarray(restored.step), num_steps)
+  for a, b in zip(jax.tree.leaves(restored.ema_params),
+                  jax.tree.leaves(exp.state.ema_params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+  print(f'MULTIPROCESS_OK process={args.process_id}', flush=True)
+
+
+if __name__ == '__main__':
+  main()

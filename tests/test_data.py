@@ -106,3 +106,32 @@ def test_npz_roundtrip(tmp_path, src):
   np.savez(tmp_path / 'train.npz', images=src.images, labels=src.labels)
   loaded = pipeline.load_source(f'npz:{tmp_path}', 'train')
   np.testing.assert_array_equal(loaded.images, src.images)
+
+
+def test_npy_memmap_streams_identical_batches(tmp_path, src):
+  """The memmap source yields byte-identical super-batches to the in-RAM
+  source WITHOUT loading the images array into memory (VERDICT round-1
+  item 6: memory-bounded streaming for imagenet64-scale datasets)."""
+  pipeline.export_npy_memmap(src, str(tmp_path), 'train')
+  loaded = pipeline.load_source(f'npy:{tmp_path}', 'train')
+  assert isinstance(loaded.images, np.memmap)  # streamed, not resident
+
+  # host_shard keeps the memmap (per-host contiguous byte ranges)
+  shard = loaded.host_shard(1, 2)
+  assert isinstance(shard.images, np.memmap)
+  np.testing.assert_array_equal(shard.images, src.host_shard(1, 2).images)
+
+  it_ram = pipeline.train_iterator(src, batch_size=4, substeps=3, seed=7,
+                                   prefetch=False)
+  it_map = pipeline.train_iterator(loaded, batch_size=4, substeps=3, seed=7,
+                                   prefetch=False)
+  for _ in range(3):
+    a, b = next(it_ram), next(it_map)
+    np.testing.assert_array_equal(a['images'], b['images'])
+    np.testing.assert_array_equal(a['labels'], b['labels'])
+
+
+def test_npy_memmap_without_labels(tmp_path, src):
+  np.save(tmp_path / 'eval_images.npy', src.images)
+  loaded = pipeline.load_source(f'npy:{tmp_path}', 'eval')
+  assert np.all(loaded.labels == 0)

@@ -127,9 +127,10 @@ def test_ode_nll_velocity_from_epsilon(tiny_config, rng):
                       jnp.zeros((2,), 'int32'), jnp.zeros((2,)),
                       step=-1.0)['params']
   likelihood = make_ode_likelihood_fn(model, cfg, rtol=1e-3, atol=1e-3)
-  log_p, log_q, aux = likelihood(params, r2, images)
+  log_p, log_q, aux, stats = likelihood(params, r2, images)
   assert log_p.shape == (2,)
   assert np.all(np.isfinite(np.asarray(log_p)))
+  assert bool(stats['success']) and int(stats['nfe']) > 0
 
 
 def test_bpd_offsets_match_reference_formulas():

@@ -1,0 +1,59 @@
+"""2-process CPU integration test for the multi-host machinery.
+
+The reference runs multi-host via per-host TFDS shards + pmap
+(/root/reference/ldm/dataset.py:264-265, main.py:45,55-56) but ships no test
+for it; here two local processes form a real jax.distributed "pod" (2 hosts x
+4 virtual CPU devices) and run the full train/eval/sample/checkpoint cycle —
+executing jax.make_array_from_process_local_data (parallel/mesh.py:138),
+cross-process psum-backed training, process_allgather sampling, and a
+multi-host orbax save/restore.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO_ROOT, 'tests', 'multiprocess_worker.py')
+NUM_PROCESSES = 2
+
+
+def _free_port() -> int:
+  with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+    s.bind(('127.0.0.1', 0))
+    return s.getsockname()[1]
+
+
+def test_two_process_train_eval_checkpoint(tmp_path):
+  coordinator = f'127.0.0.1:{_free_port()}'
+  workdir = str(tmp_path / 'workdir')
+
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)  # worker sets device count via jax config
+  env['PYTHONPATH'] = REPO_ROOT + os.pathsep + env.get('PYTHONPATH', '')
+  procs = []
+  for pid in range(NUM_PROCESSES):
+    procs.append(subprocess.Popen(
+        [sys.executable, WORKER,
+         '--process_id', str(pid),
+         '--num_processes', str(NUM_PROCESSES),
+         '--coordinator', coordinator,
+         '--workdir', workdir],
+        cwd=REPO_ROOT, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+
+  outputs = []
+  try:
+    for proc in procs:
+      out, _ = proc.communicate(timeout=840)
+      outputs.append(out)
+  finally:
+    for proc in procs:
+      if proc.poll() is None:
+        proc.kill()
+
+  for pid, (proc, out) in enumerate(zip(procs, outputs)):
+    assert proc.returncode == 0, (
+        f'process {pid} failed (rc={proc.returncode}):\n{out[-4000:]}')
+    assert f'MULTIPROCESS_OK process={pid}' in out, out[-4000:]
