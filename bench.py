@@ -38,8 +38,16 @@ def main():
   parser.add_argument('--substeps', type=int, default=50)
   args = parser.parse_args()
 
+  import os
+
   import jax
   import numpy as np
+
+  # Persistent XLA cache: the flagship UNet compile costs minutes through
+  # this sandbox's TPU tunnel; repeat benches hit the cache.
+  jax.config.update('jax_compilation_cache_dir',
+                    os.path.expanduser('~/.cache/mulan_tpu_xla'))
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
 
   from mulan_tpu.configs import cifar10_conditioned
   from mulan_tpu.parallel import mesh as mesh_lib

@@ -223,9 +223,20 @@ class AttnBlock(nn.Module):
           head_dim, t)
     if use_flash:
       from jax.experimental.pallas.ops.tpu import flash_attention as fa
+      # Explicit LARGE blocks: the kernel's 128x128 defaults put a
+      # (B=128, T=1024, D=128) single-head call at ~2% MXU utilization
+      # (8192 grid steps of 128x128 matmuls — profiled 26 ms/step for two
+      # blocks); 512-wide blocks cut the grid 16x and feed the systolic
+      # array (512, 128) @ (128, 512) tiles.
+      blk = min(512, t)
+      sizes = fa.BlockSizes(
+          block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+          block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+          block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+          block_q_dq=blk)
       out = fa.flash_attention(
           q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-          v.transpose(0, 2, 1, 3), sm_scale=scale)
+          v.transpose(0, 2, 1, 3), sm_scale=scale, block_sizes=sizes)
       out = out.transpose(0, 2, 1, 3).astype(self.dtype)
     else:
       logits = jnp.einsum('bqhd,bkhd->bhqk', q.astype(jnp.float32) * scale,

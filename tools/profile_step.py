@@ -9,6 +9,12 @@ Runs one warmup super-step, traces the second, then parses the xplane proto
 tables — the measurement loop behind docs/PERF.md. No tensorboard needed.
 """
 
+import sys
+_REPO = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+if _REPO not in sys.path:
+  sys.path.insert(0, _REPO)
+
+
 import argparse
 import collections
 import glob
@@ -19,6 +25,9 @@ import time
 
 def capture(args) -> str:
   import jax
+  jax.config.update('jax_compilation_cache_dir',
+                    os.path.expanduser('~/.cache/mulan_tpu_xla'))
+  jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
   from mulan_tpu.configs import cifar10_conditioned
   from mulan_tpu.train.loop import Experiment
 
@@ -62,65 +71,92 @@ def find_xplane(logdir: str) -> str:
   return paths[-1]
 
 
-_CATEGORY_HINTS = (
-    ('conv', 'convolution'),
-    ('fusion', 'fusion'),
-    ('copy', 'copy/transpose'),
-    ('transpose', 'copy/transpose'),
-    ('all-reduce', 'collective'),
-    ('all-gather', 'collective'),
-    ('reduce-scatter', 'collective'),
-    ('collective', 'collective'),
-    ('dot', 'dot'),
-    ('custom-call', 'custom-call'),
-    ('reduce', 'reduce'),
-    ('scatter', 'scatter/gather'),
-    ('gather', 'scatter/gather'),
-    ('dynamic-update-slice', 'dus'),
-    ('dynamic-slice', 'dus'),
-    ('rng', 'rng'),
-)
+PEAK_BF16_FLOPS = 197e12  # v5e MXU peak
+PEAK_HBM_BPS = 819e9
 
 
 def summarize(xplane_path: str, top: int = 40):
-  from tensorflow.core.profiler.protobuf import xplane_pb2
+  """Aggregate by the profiler's own hlo_category + per-op flops/bytes
+  stats; prints achieved TFLOP/s / GB/s per bucket so compute-bound vs
+  bandwidth-bound buckets are obvious."""
+  from tensorflow.tsl.profiler.protobuf import xplane_pb2
   xspace = xplane_pb2.XSpace()
   with open(xplane_path, 'rb') as f:
     xspace.ParseFromString(f.read())
 
-  by_op = collections.Counter()
-  by_cat = collections.Counter()
+  op_time = collections.Counter()
+  op_meta = {}
+  cat_time = collections.Counter()
+  cat_flops = collections.Counter()
+  cat_bytes = collections.Counter()
   total_ps = 0
   for plane in xspace.planes:
     if 'TPU' not in plane.name and 'device' not in plane.name.lower():
       continue
-    meta = {m.id: m.name for m in plane.event_metadata.values()}
+    stat_names = {s.id: s.name for s in plane.stat_metadata.values()}
+    metas = {}
+    for m in plane.event_metadata.values():
+      stats = {}
+      for st in m.stats:
+        sname = stat_names.get(st.metadata_id)
+        if sname == 'hlo_category':
+          stats['cat'] = st.str_value
+        elif sname == 'flops':
+          stats['flops'] = st.int64_value
+        elif sname == 'bytes_accessed':
+          stats['bytes'] = st.int64_value
+        elif sname == 'tf_op':
+          stats['tf_op'] = st.str_value
+      metas[m.id] = (m.name.lstrip('%').split(' ')[0], stats)
     for line in plane.lines:
       if line.name != 'XLA Ops':
         continue
       for event in line.events:
-        name = meta.get(event.metadata_id, '?')
+        name, stats = metas.get(event.metadata_id, ('?', {}))
+        lname = name.lower()
+        # Control-flow wrappers (the scan while-loop) span their children;
+        # counting them would double every nested op.
+        if lname.startswith(('while', 'body', 'condition', 'call')):
+          continue
         dur = event.duration_ps
         total_ps += dur
-        by_op[name] += dur
-        cat = 'other'
-        lname = name.lower()
-        for hint, category in _CATEGORY_HINTS:
-          if lname.startswith(hint) or f'.{hint}' in lname:
-            cat = category
-            break
-        by_cat[cat] += dur
+        op_time[name] += dur
+        op_meta.setdefault(name, stats)
+        cat = stats.get('cat', 'other')
+        cat_time[cat] += dur
+        cat_flops[cat] += stats.get('flops', 0)
+        cat_bytes[cat] += stats.get('bytes', 0)
 
   if total_ps == 0:
     print('no XLA Ops line found (is this a device trace?)')
     return
-  ms = 1e-9
-  print(f'\n== categories (total {total_ps * ms:.1f} ms summed op time) ==')
-  for cat, ps in by_cat.most_common():
-    print(f'  {cat:<18} {ps * ms:9.2f} ms  {100 * ps / total_ps:5.1f}%')
+  sec = 1e-12
+  total_s = total_ps * sec
+  total_flops = sum(cat_flops.values())
+  print(f'\n== categories (total {total_s * 1e3:.1f} ms summed op time; '
+        f'aggregate {total_flops / total_s / 1e12:.1f} TFLOP/s = '
+        f'{100 * total_flops / total_s / PEAK_BF16_FLOPS:.1f}% of bf16 peak '
+        f'over busy time) ==')
+  print(f'  {"category":<26} {"ms":>9} {"share":>6} {"TFLOP/s":>8} '
+        f'{"%MXU":>6} {"GB/s":>7} {"%HBM":>6}')
+  for cat, ps in cat_time.most_common():
+    t = ps * sec
+    fl = cat_flops[cat] / t / 1e12
+    bw = cat_bytes[cat] / t / 1e9
+    print(f'  {cat:<26} {t * 1e3:9.2f} {100 * ps / total_ps:5.1f}% '
+          f'{fl:8.1f} {100 * fl * 1e12 / PEAK_BF16_FLOPS:5.1f}% '
+          f'{bw:7.1f} {100 * bw * 1e9 / PEAK_HBM_BPS:5.1f}%')
   print(f'\n== top {top} ops ==')
-  for name, ps in by_op.most_common(top):
-    print(f'  {ps * ms:9.2f} ms  {100 * ps / total_ps:5.1f}%  {name[:110]}')
+  for name, ps in op_time.most_common(top):
+    stats = op_meta.get(name, {})
+    t = ps * sec
+    tf_op = stats.get('tf_op', '')[-60:]
+    print(f'  {t * 1e3:9.2f} ms {100 * ps / total_ps:5.1f}% '
+          f'{cat_or(stats):<22} {name[:40]:<42} {tf_op}')
+
+
+def cat_or(stats):
+  return stats.get('cat', 'other')
 
 
 def main():

@@ -10,6 +10,12 @@ recorded in docs/PERF.md each round.
   python tools/tpu_checks.py
 """
 
+import sys
+_REPO = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+if _REPO not in sys.path:
+  sys.path.insert(0, _REPO)
+
+
 import json
 import sys
 
