@@ -20,6 +20,7 @@ layers/steps decorrelate (see `seed_from_key`).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,18 +37,27 @@ def seed_from_key(key) -> jax.Array:
   return jnp.asarray(data.reshape(-1)[-1], jnp.int32)
 
 
-def _mask_kernel(seed_ref, out_ref, *, rate: float, scale: float):
+def _mask_kernel(seed_ref, out_ref, *, threshold16: int, scale: float):
+  """Writes a pre-scaled {0, scale} keep-mask.
+
+  Each hardware-PRNG uint32 word yields TWO 16-bit thresholds, halving the
+  PRNG work. (A uint8-mask variant — halving HBM traffic too — measured
+  SLOWER end-to-end: 5.14 vs 5.30 steps/sec; the consumer-side u8->bf16
+  convert does not fuse as well as a straight bf16 load.)"""
   pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-  bits = pltpu.bitcast(pltpu.prng_random_bits(out_ref.shape), jnp.uint32)
-  threshold = np.uint32(min(int(rate * 4294967296.0), 4294967295))
-  keep = (bits >= threshold).astype(out_ref.dtype)
-  out_ref[:] = keep * out_ref.dtype.type(scale)
+  t, c = out_ref.shape
+  bits = pltpu.bitcast(pltpu.prng_random_bits((t, c // 2)), jnp.uint32)
+  thr = np.uint32(threshold16)
+  # cast each half BEFORE the concat: Mosaic cannot concatenate i1 vectors
+  lo = ((bits & np.uint32(0xFFFF)) >= thr).astype(out_ref.dtype)
+  hi = ((bits >> np.uint32(16)) >= thr).astype(out_ref.dtype)
+  out_ref[:] = jnp.concatenate([lo, hi], axis=1) * out_ref.dtype.type(scale)
 
 
 def _tile(rows):
-  # Large tiles keep the grid small (4096x128 bf16 = 1 MB/block); rows is a
-  # multiple of 8.
-  for t in (4096, 1024, 512, 256, 64, 8):
+  # Large tiles keep the grid small; rows is a multiple of 32 (the int8
+  # Mosaic tile is (32, 128)).
+  for t in (4096, 1024, 512, 256, 64, 32):
     if rows % t == 0:
       return t
   return rows
@@ -56,26 +66,43 @@ def _tile(rows):
 def _shape2d(shape):
   n = int(np.prod(shape))
   cols = shape[-1]
-  if cols % _LANE == 0 and (n // cols) % 8 == 0:
+  if cols % _LANE == 0 and (n // cols) % 32 == 0:
     rows = n // cols
   else:  # fall back to a flat padded layout
     cols = _LANE
     rows = -(-n // cols)
-    rows += (-rows) % 8
+    rows += (-rows) % 32
   return rows, cols, n
 
 
+def _threshold16(rate: float) -> int:
+  return min(int(round(rate * 65536.0)), 65535)
+
+
+def effective_rate(rate: float, backend: Optional[str] = None) -> float:
+  """The realized drop probability: the TPU kernel quantizes `rate` to
+  16-bit granularity (<= 7.6e-6 absolute error); the scale uses this so
+  E[mask] == 1 exactly."""
+  if backend is None:
+    backend = jax.default_backend()
+  if backend != 'tpu':
+    return rate
+  return _threshold16(rate) / 65536.0
+
+
 def _hw_mask(seed, shape, rate: float, dtype) -> jax.Array:
-  """Pre-scaled dropout mask of `shape`: values in {0, 1/(1-rate)}."""
-  scale = 1.0 / (1.0 - rate)
+  """Pre-scaled dropout mask of `shape`: values in {0, 1/(1-rate_eff)}."""
   if jax.default_backend() != 'tpu':
     # Off-TPU fallback (tests / CPU): same regenerate-from-seed semantics,
     # threefry bit source (pltpu.prng_* has no CPU interpret lowering).
+    scale = 1.0 / (1.0 - rate)
     key = jax.random.PRNGKey(jnp.abs(seed).astype(jnp.uint32))
     keep = jax.random.bernoulli(key, 1.0 - rate, shape)
     return keep.astype(dtype) * jnp.asarray(scale, dtype)
+  scale = 1.0 / (1.0 - effective_rate(rate, 'tpu'))
   rows, cols, n = _shape2d(shape)
-  kernel = functools.partial(_mask_kernel, rate=rate, scale=scale)
+  kernel = functools.partial(_mask_kernel, threshold16=_threshold16(rate),
+                             scale=scale)
   mask2d = pl.pallas_call(
       kernel,
       grid=(rows // _tile(rows),),

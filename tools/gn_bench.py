@@ -87,14 +87,17 @@ def bench(name, gn_fn, params, x):
   g = loss(params, x)
   jax.block_until_ready(g)
   times = []
-  for _ in range(5):
+  for _ in range(10):
     t0 = time.perf_counter()
     g = loss(params, x)
     jax.block_until_ready(g)
     times.append(time.perf_counter() - t0)
   ms = float(np.median(times) * 1e3)
+  # sanity: the conv chain alone is ~3x 2*B*H*W*9*C^2 flops per block
+  conv_flops = 3 * 2 * B * H * W * 9 * C * C * N_BLOCKS
   print(json.dumps({'gn': name, 'ms_fwd_bwd': round(ms, 3),
-                    'blocks': N_BLOCKS}))
+                    'blocks': N_BLOCKS,
+                    'implied_conv_tflops': round(conv_flops / ms / 1e9, 1)}))
   return g
 
 

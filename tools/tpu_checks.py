@@ -42,7 +42,8 @@ def check_dropout_statistics():
       jax.jit(lambda s: _hw_mask(s, shape, rate, jnp.bfloat16))(seed),
       np.float32)
 
-  scale = 1.0 / (1.0 - rate)
+  # the kernel emits the scale rounded to the mask dtype (bf16)
+  scale = float(jnp.asarray(1.0 / (1.0 - rate), jnp.bfloat16))
   keep = mask / scale
   assert set(np.unique(keep)).issubset({0.0, 1.0}), np.unique(keep)
 
