@@ -66,7 +66,10 @@ def main():
   variant = ''
   if args.attention:
     config.model.with_attention = True
-    variant += '_attn'
+    # 66 attention blocks' residuals (64 MB f32 lse each) exceed HBM at
+    # batch 128 without rematerialization.
+    config.model.remat = True
+    variant += '_attn_remat'
   if args.ldm:
     config.model.unet_type = 'ldm'
     variant += '_ldm'

@@ -167,10 +167,15 @@ class ResnetBlock(nn.Module):
 
 
 def maybe_remat(block_cls, remat: bool):
-  """Lift jax.checkpoint over a block module (trades FLOPs for HBM)."""
+  """Lift jax.checkpoint over a block module (trades FLOPs for HBM).
+
+  static_argnums counts `self` as argument 0 in flax's remat, so
+  `deterministic` in ResnetBlock.__call__(self, x, cond, deterministic)
+  is index 3 — it must stay a static Python bool (the dropout branch
+  does `not deterministic`)."""
   if not remat:
     return block_cls
-  return nn.remat(block_cls, static_argnums=(2,))
+  return nn.remat(block_cls, static_argnums=(3,))
 
 
 class AttnBlock(nn.Module):

@@ -80,6 +80,10 @@ class UNet(nn.Module):
     hs = [h]
 
     block_cls = maybe_remat(ResnetBlock, cfg.remat)
+    # Attention residuals are big: flash saves an f32 (B, heads, T, 128)
+    # logsumexp per block — 64 MB/block at flagship shapes, OOM with
+    # with_attention=True (66 blocks) at batch 128 without remat.
+    attn_cls = nn.remat(AttnBlock) if cfg.remat else AttnBlock
 
     def res_block(name, h, out_ch=None):
       return block_cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
@@ -89,18 +93,21 @@ class UNet(nn.Module):
     for i in range(n_layers):
       h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)
       if cfg.with_attention:
-        h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name=f'down_attn_{i}')(h)
+        h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                     name=f'down_attn_{i}')(h)
       hs.append(h)
 
     h = res_block('mid_block_1', hs[-1])
-    h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name='mid_attn_1')(h)
+    h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                 name='mid_attn_1')(h)
     h = res_block('mid_block_2', h)
 
     for i in range(n_layers + 1):
       h = res_block(f'up_block_{i}',
                     jnp.concatenate([h, hs.pop()], axis=-1), out_ch=n_embd)
       if cfg.with_attention:
-        h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name=f'up_attn_{i}')(h)
+        h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                     name=f'up_attn_{i}')(h)
     assert not hs
 
     h = nn.swish(GroupNormF32(dtype=dtype)(h))

@@ -170,6 +170,16 @@ def test_bf16_compute_path(tiny_config, rng):
 def test_remat_path_matches_no_remat(tiny_config, rng):
   cfg_plain = dataclasses.replace(tiny_config, sm_pdrop=0.0)
   cfg_remat = dataclasses.replace(tiny_config, sm_pdrop=0.0, remat=True)
+  # pdrop > 0 + non-deterministic exercises the static `deterministic`
+  # bool under nn.remat (static_argnums counts self — regression test for
+  # the off-by-one that OOM-debugging found on TPU) and remat'd attention.
+  cfg_train = dataclasses.replace(tiny_config, remat=True,
+                                  with_attention=True)
+  m3 = build_model('mulan_epsilon', cfg_train)
+  params3, inputs3 = _init(m3, rng)
+  out3 = _elbo(m3, params3, inputs3, jax.random.fold_in(rng, 2),
+               train=True)
+  assert jnp.all(jnp.isfinite(out3.loss_diff))
   m1 = build_model('mulan_epsilon', cfg_plain)
   m2 = build_model('mulan_epsilon', cfg_remat)
   params, inputs = _init(m1, rng)

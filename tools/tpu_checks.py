@@ -120,9 +120,14 @@ def check_flash_attention_parity():
   g_ref = jax.jit(jax.grad(lambda p, xx: loss(ref_block, p, xx)))(params, x)
   g_fast = jax.jit(jax.grad(lambda p, xx: loss(fast_block, p, xx)))(params,
                                                                     x)
+  # Regularize per-leaf scale: k/bias's TRUE gradient is ~0 (adding a
+  # constant to k shifts every logit of a query equally — softmax
+  # invariant), so a bare per-leaf relative error explodes on noise.
+  floor = 1e-2 * max(float(jnp.max(jnp.abs(g)))
+                     for g in jax.tree.leaves(g_ref))
   errs = jax.tree.map(
       lambda a, b: float(jnp.max(jnp.abs(a - b))
-                         / (jnp.max(jnp.abs(a)) + 1e-9)), g_ref, g_fast)
+                         / (jnp.max(jnp.abs(a)) + floor)), g_ref, g_fast)
   worst = max(jax.tree.leaves(errs))
   check('flash_attention_grad_parity', worst < 0.05, worst_rel_err=worst)
 
@@ -151,10 +156,13 @@ def check_decoder_kernel_parity():
 
   gz_fast, gg_fast = jax.jit(jax.grad(f_fast, argnums=(0, 1)))(z, g0)
   gz_ref, gg_ref = jax.jit(jax.grad(f_ref, argnums=(0, 1)))(z, g0)
-  errz = float(jnp.max(jnp.abs(gz_fast - gz_ref)))
-  errg = float(jnp.max(jnp.abs(gg_fast - gg_ref)))
-  check('decoder_logprob_grad_parity', errz < 1e-3 and errg < 1e-3,
-        max_err_z=errz, max_err_g=errg)
+  # grads scale with exp(-gamma_0) ~ 6e5 at gamma_min; compare RELATIVE
+  errz = float(jnp.max(jnp.abs(gz_fast - gz_ref))
+               / jnp.max(jnp.abs(gz_ref)))
+  errg = float(jnp.max(jnp.abs(gg_fast - gg_ref))
+               / jnp.max(jnp.abs(gg_ref)))
+  check('decoder_logprob_grad_parity', errz < 1e-4 and errg < 1e-4,
+        rel_err_z=errz, rel_err_g=errg)
 
 
 def main():
