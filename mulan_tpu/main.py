@@ -30,6 +30,10 @@ flags.DEFINE_bool('multiprocess', False,
 flags.DEFINE_bool('jax_debug_nans', False,
                   'Error on NaN production (debug config, SURVEY section 5).')
 flags.DEFINE_bool('jax_disable_jit', False, 'Run op-by-op for debugging.')
+flags.DEFINE_bool('nan_guard', False,
+                  'Check every per-substep metric for NaN/inf after each '
+                  'super-step and fail naming the first bad (substep, '
+                  'scalar). Cheap; for op-level hunts use --jax_debug_nans.')
 flags.DEFINE_string('compilation_cache_dir', '~/.cache/mulan_tpu_xla',
                     'Persistent XLA compilation cache ("" disables). '
                     'Restarted/requeued jobs skip the multi-minute UNet '
@@ -56,6 +60,8 @@ def main(argv):
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
   if FLAGS.jax_debug_nans:
     jax.config.update('jax_debug_nans', True)
+  if FLAGS.nan_guard:
+    FLAGS.config.training.nan_guard = True
   if FLAGS.jax_disable_jit:
     jax.config.update('jax_disable_jit', True)
   if FLAGS.config.model.get('compute_dtype', 'float32') == 'float32':

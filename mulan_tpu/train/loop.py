@@ -157,6 +157,30 @@ class Experiment:
                      self._replicated)
     self._p_superstep = jax.jit(superstep, donate_argnums=(0,),
                                 out_shardings=out_shardings)
+    if self.config.training.get('nan_guard', False):
+      # Debug config (SURVEY section 5): after every super-step, verify all
+      # per-substep scalars are finite and fail NAMING the first bad
+      # (substep, scalar) instead of silently training on garbage.
+      # (jax.experimental.checkify was evaluated for in-step checks but its
+      # per-op instrumentation blows XLA compile time up by >10x even on
+      # the tiny test model — docs/NEXT.md. For op-level hunts use
+      # --jax_debug_nans, which re-runs op-by-op.)
+      inner = self._p_superstep
+
+      def guarded_superstep(state, superbatch):
+        state, metrics = inner(state, superbatch)
+        for name, values in sorted(metrics.items()):
+          finite = np.asarray(jnp.isfinite(values))
+          if not finite.all():
+            bad = int(np.argmin(finite.reshape(finite.shape[0], -1)
+                                .all(axis=1)))
+            raise FloatingPointError(
+                f'nan_guard: non-finite {name!r} at substep {bad} of the '
+                f'super-step ending at step {int(state.step)} '
+                f'(value {np.asarray(values)[bad]!r})')
+        return state, metrics
+
+      self._p_superstep = guarded_superstep
 
     eval_rng = self._eval_rng
 

@@ -172,3 +172,33 @@ def test_mulan_epsilon_end_to_end(tmp_path):
   exp = Experiment(config)
   exp.train_and_evaluate(str(tmp_path / 'run'))
   assert int(exp.state.step) == 4
+
+
+def test_nan_guard_superstep_catches_nan():
+  """training.nan_guard verifies per-substep scalars after each super-step
+  and fails naming the first bad (substep, scalar) — debug config,
+  SURVEY section 5. (checkify was evaluated instead but its per-op
+  instrumentation explodes XLA compile time; see docs/NEXT.md.)"""
+  import jax
+  import jax.numpy as jnp
+  import pytest
+  from mulan_tpu.configs import tiny_synthetic
+  from mulan_tpu.train.loop import Experiment
+
+  config = tiny_synthetic.get_config()
+  config.training.nan_guard = True
+  exp = Experiment(config)
+  # host copy first: the jit'd superstep DONATES its input state buffers
+  host_state = jax.device_get(exp.state)
+  state = exp._put_state(host_state)
+  batch = exp._put_superbatch(next(exp.train_iter))
+  # clean state: runs and advances
+  state2, metrics = exp._p_superstep(state, batch)
+  assert int(state2.step) == config.training.substeps
+  assert jnp.isfinite(metrics['bpd']).all()
+
+  # poison the parameters with NaN -> the guard fires with a location
+  bad_params = jax.tree.map(lambda x: x * jnp.nan, host_state.params)
+  bad_state = exp._put_state(host_state.replace(params=bad_params))
+  with pytest.raises(FloatingPointError, match='substep 0'):
+    exp._p_superstep(bad_state, batch)
