@@ -55,6 +55,14 @@ def main():
   from mulan_tpu.train.loop import Experiment
 
   config = tiny_synthetic.get_config()
+  # Keep compiles short: this test runs 2 full processes on (typically)
+  # ONE host CPU; long asymmetric compiles starve the peer past the gloo
+  # pair-connect timeout.
+  config.model.sm_n_embd = 8
+  config.model.sm_n_layer = 1
+  config.model.latent_size = 4
+  config.model.latent_k = 2
+  config.training.num_steps_eval = 1
   exp = Experiment(config)
   exp.train_and_evaluate(args.workdir)
   num_steps = config.training.num_steps_train

@@ -25,10 +25,8 @@ def _free_port() -> int:
     return s.getsockname()[1]
 
 
-def test_two_process_train_eval_checkpoint(tmp_path):
+def _run_pod(workdir: str):
   coordinator = f'127.0.0.1:{_free_port()}'
-  workdir = str(tmp_path / 'workdir')
-
   env = dict(os.environ)
   env.pop('XLA_FLAGS', None)  # worker sets device count via jax config
   env['PYTHONPATH'] = REPO_ROOT + os.pathsep + env.get('PYTHONPATH', '')
@@ -52,7 +50,25 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     for proc in procs:
       if proc.poll() is None:
         proc.kill()
+  return procs, outputs
 
+
+def test_two_process_train_eval_checkpoint(tmp_path):
+  # One retry: on a loaded single-CPU host, asymmetric first-compile times
+  # can starve a peer past the gloo pair-connect timeout — a transport
+  # timeout, not a correctness failure. A genuine regression fails both
+  # attempts.
+  for attempt in range(2):
+    procs, outputs = _run_pod(str(tmp_path / f'workdir{attempt}'))
+    ok = all(p.returncode == 0 for p in procs) and all(
+        f'MULTIPROCESS_OK process={pid}' in out
+        for pid, out in enumerate(outputs))
+    if ok:
+      return
+    transport_flake = any('Connect timeout' in out or
+                          'initialization failed' in out for out in outputs)
+    if not transport_flake:
+      break
   for pid, (proc, out) in enumerate(zip(procs, outputs)):
     assert proc.returncode == 0, (
         f'process {pid} failed (rc={proc.returncode}):\n{out[-4000:]}')
