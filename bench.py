@@ -35,6 +35,9 @@ def main():
                       help="unet_type='ldm' (per-pixel gamma conditioning)")
   parser.add_argument('--stacked', action='store_true',
                       help='shape-stacked adamw')
+  parser.add_argument('--imagenet32', action='store_true',
+                      help='ImageNet32 architecture (sm_n_embd=256, '
+                           'mulan_epsilon) at per-chip batch 64')
   parser.add_argument('--substeps', type=int, default=50)
   args = parser.parse_args()
 
@@ -57,13 +60,22 @@ def main():
   # 1000) while keeping each device dispatch ~12s. (This sandbox's TPU
   # tunnel kills dispatches beyond ~2 minutes; real pods don't care.)
   substeps = args.substeps
-  config = cifar10_conditioned.get_config()
+  variant = ''
+  if args.imagenet32:
+    from mulan_tpu.configs import imagenet32
+    config = imagenet32.get_config()
+    batch = 64 * len(jax.devices())  # per-chip batch 64 (fits v5e HBM)
+    unit = 'steps/sec/chip (batch 64/chip)'
+    variant = '_imagenet32'
+  else:
+    config = cifar10_conditioned.get_config()
+    batch = 128
+    unit = 'steps/sec/chip (global batch 128)'
   config.data.dataset = 'synthetic'
   config.data.synthetic_examples = 1024
   config.training.substeps = substeps
-  config.training.batch_size_train = 128
-  config.training.batch_size_eval = 128
-  variant = ''
+  config.training.batch_size_train = batch
+  config.training.batch_size_eval = batch
   if args.attention:
     config.model.with_attention = True
     # 66 attention blocks' residuals (64 MB f32 lse each) exceed HBM at
@@ -98,11 +110,14 @@ def main():
   assert np.isfinite(float(metrics['bpd'][-1]))
   steps_per_sec = substeps / float(np.median(times))
   per_chip = steps_per_sec / n_chips
+  base = ('imagenet32_mulan_epsilon_train_steps_per_sec_per_chip'
+          if args.imagenet32
+          else 'cifar10_mulan_velocity_train_steps_per_sec_per_chip'
+          + variant)
   print(json.dumps({
-      'metric': ('cifar10_mulan_velocity_train_steps_per_sec_per_chip'
-                 + variant),
+      'metric': base,
       'value': round(per_chip, 4),
-      'unit': 'steps/sec/chip (global batch 128)',
+      'unit': unit,
       'vs_baseline': round(per_chip / BASELINE_STEPS_PER_SEC_PER_CHIP, 4),
   }))
 
