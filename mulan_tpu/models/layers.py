@@ -234,10 +234,11 @@ class AttnBlock(nn.Module):
       # blocks); 512-wide blocks cut the grid 16x and feed the systolic
       # array (512, 128) @ (128, 512) tiles.
       blk = min(512, t)
+      kmaj = min(1024, t)  # whole K span per major step: fewer lse fixups
       sizes = fa.BlockSizes(
-          block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-          block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
-          block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+          block_q=blk, block_k_major=kmaj, block_k=blk, block_b=1,
+          block_q_major_dkv=blk, block_k_major_dkv=kmaj, block_k_dkv=blk,
+          block_q_dkv=blk, block_k_major_dq=kmaj, block_k_dq=blk,
           block_q_dq=blk)
       out = fa.flash_attention(
           q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
