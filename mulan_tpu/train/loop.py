@@ -240,6 +240,7 @@ class Experiment:
     step = initial_step
     substeps = config.substeps
     last_t = time.time()
+    last_log_step = initial_step
     # Profiling hook (reference experiment.py:230-232 clu Profile): capture
     # an XProf trace of the 2nd super-step on process 0.
     profile_at = initial_step + substeps if (
@@ -264,8 +265,11 @@ class Experiment:
         scalars = jax.tree.map(lambda x: float(jnp.mean(x)), train_metrics)
         scalars = {'train_' + k: v for k, v in scalars.items()}
         now = time.time()
-        scalars['steps_per_sec'] = substeps / (now - last_t)
+        # logging intervals can span several super-steps; divide by the
+        # actual step delta, not substeps
+        scalars['steps_per_sec'] = (step - last_log_step) / (now - last_t)
         last_t = now
+        last_log_step = step
         writer.write_scalars(step, scalars)
 
       if step % config.steps_per_eval == 0 or is_last or step == substeps:
