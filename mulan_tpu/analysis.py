@@ -124,8 +124,11 @@ def cluster_embeddings(embeddings, *, min_cosine: float = 0.9,
   for i in range(n):
     if assignment[i] != -1:
       continue
-    mates = [j for j in range(n)
-             if assignment[j] == -1 and sim[i, j] >= min_cosine]
+    # leader FIRST so max_size truncation can never drop it from its own
+    # cluster
+    mates = [i] + [j for j in range(n)
+                   if j != i and assignment[j] == -1
+                   and sim[i, j] >= min_cosine]
     if max_size is not None:
       mates = mates[:max_size]
     if len(mates) < min_size:

@@ -29,6 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_flash_fallback_warned: set = set()
+
+
 def constant_init(value, dtype='float32'):
   def _init(key, shape, dtype=dtype):
     del key
@@ -218,14 +221,17 @@ class AttnBlock(nn.Module):
     scale = 1.0 / np.sqrt(head_dim)
     use_flash = (self.use_pallas and jax.default_backend() == 'tpu'
                  and head_dim % 128 == 0 and t % 512 == 0)
-    if self.use_pallas and not use_flash:
-      # Trace-time (static) check: warn once per compile so a non-flagship
-      # shape never silently loses the flash kernel.
-      logging.warning(
-          'AttnBlock %s: flash attention requested but falling back to the '
-          'XLA einsum path (backend=%s, head_dim=%d needs %%128==0, '
-          'tokens=%d needs %%512==0).', self.name, jax.default_backend(),
-          head_dim, t)
+    if self.use_pallas and not use_flash and jax.default_backend() == 'tpu':
+      # Trace-time (static) check: warn (once per shape) so a non-flagship
+      # shape never silently loses the flash kernel on TPU. CPU fallback is
+      # expected and not warned.
+      key = (head_dim, t)
+      if key not in _flash_fallback_warned:
+        _flash_fallback_warned.add(key)
+        logging.warning(
+            'AttnBlock: flash attention requested but falling back to the '
+            'XLA einsum path (head_dim=%d needs %%128==0, tokens=%d needs '
+            '%%512==0).', head_dim, t)
     if use_flash:
       from jax.experimental.pallas.ops.tpu import flash_attention as fa
       # Explicit LARGE blocks: the kernel's 128x128 defaults put a
@@ -234,7 +240,10 @@ class AttnBlock(nn.Module):
       # blocks); 512-wide blocks cut the grid 16x and feed the systolic
       # array (512, 128) @ (128, 512) tiles.
       blk = min(512, t)
-      kmaj = min(1024, t)  # whole K span per major step: fewer lse fixups
+      # Whole K span per major step (fewer lse fixups) — but only when it
+      # divides t (the kernel rejects kv_seq_len % block_k_major != 0;
+      # blk always divides t because t % 512 == 0 here).
+      kmaj = 1024 if t % 1024 == 0 else blk
       sizes = fa.BlockSizes(
           block_q=blk, block_k_major=kmaj, block_k=blk, block_b=1,
           block_q_major_dkv=blk, block_k_major_dkv=kmaj, block_k_dkv=blk,

@@ -204,6 +204,11 @@ def make_stacked_adamw(args: Mapping[str, Any], lr_schedule,
   extra stack/unstack traffic is a few hundred MB/step — ~1 ms of HBM time
   against tens of ms of fusion overhead. Validated equivalent to the optax
   two-group chain in tests/test_fused_optimizer.py."""
+  unknown = set(args) - {'b1', 'b2', 'eps', 'weight_decay'}
+  if unknown:
+    raise ValueError(
+        f'stacked adamw does not implement optimizer args {sorted(unknown)};'
+        ' use the default optax chain for those')
   b1 = args.get('b1', 0.9)
   b2 = args.get('b2', 0.999)
   eps = args.get('eps', 1e-8)

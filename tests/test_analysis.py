@@ -98,3 +98,21 @@ def test_animate_generic():
   frames = [np.zeros((4, 4)), np.ones((4, 4))]
   anim = analysis.animate(lambda ax, i: ax.imshow(frames[i]), len(frames))
   assert anim is not None
+
+
+def test_cluster_truncation_keeps_leader():
+  """max_size truncation must never drop the leader from its own cluster
+  (round-2 review finding)."""
+  emb = np.zeros((7, 20), np.float32)
+  # items 0-3 all overlap strongly with 6; leader visiting order starts at 0
+  emb[6, :15] = 1
+  for i in range(4):
+    emb[i, :14] = 1
+    emb[i, 15 + i] = 1
+  clusters = analysis.cluster_embeddings(emb, min_cosine=0.9, min_size=3,
+                                         max_size=3)
+  for c in range(clusters.n_clusters):
+    members = clusters.members(c)
+    leader = int(clusters.leaders[c])
+    assert leader in members
+    assert clusters.assignment[leader] == c

@@ -8,13 +8,14 @@ the learned schedule stiffness, so only compare like-for-like.
   python tools/eval_bench.py
 """
 
+import os
 import sys
-_REPO = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
   sys.path.insert(0, _REPO)
 
 import json
-import os
 import time
 
 import jax
@@ -36,27 +37,30 @@ def main():
   exp = Experiment(config)
   n_chips = len(jax.devices())
 
-  # Dense VLB (n_timesteps=128): warm one batch, then time 4.
-  evals.eval_bpd_dense(exp, config, n_timesteps=128, max_batches=1)
-  t0 = time.perf_counter()
-  n_batches = 4
-  evals.eval_bpd_dense(exp, config, n_timesteps=128, max_batches=n_batches)
-  dt = time.perf_counter() - t0
-  imgs = n_batches * config.training.batch_size_eval
-  print(json.dumps({'metric': 'dense_vlb_images_per_sec_per_chip',
-                    'value': round(imgs / dt / n_chips, 4),
-                    'n_timesteps': 128}))
+  # eval_bpd_* build a fresh jax.jit per CALL, so a separate warm-up call
+  # keeps nothing warm. Time two calls with different batch counts and use
+  # the DIFFERENCE: the per-call constant (trace + persistent-cache
+  # compile/deserialize) cancels, leaving pure per-batch throughput.
+  def timed(fn, n_batches):
+    t0 = time.perf_counter()
+    fn(n_batches)
+    return time.perf_counter() - t0
 
-  # Exact NLL ODE (rtol=atol=1e-5, 1 IS sample, batch 16).
-  evals.eval_bpd_ode(exp, config, num_is=1, max_batches=1,
-                     rtol=1e-5, atol=1e-5)
-  t0 = time.perf_counter()
-  evals.eval_bpd_ode(exp, config, num_is=1, max_batches=n_batches,
-                     rtol=1e-5, atol=1e-5)
-  dt = time.perf_counter() - t0
+  def throughput(fn, small=1, large=5):
+    dt_small = timed(fn, small)
+    dt_large = timed(fn, large)
+    imgs = (large - small) * config.training.batch_size_eval
+    return imgs / max(dt_large - dt_small, 1e-9) / n_chips
+
+  dense = throughput(lambda n: evals.eval_bpd_dense(
+      exp, config, n_timesteps=128, max_batches=n))
+  print(json.dumps({'metric': 'dense_vlb_images_per_sec_per_chip',
+                    'value': round(dense, 4), 'n_timesteps': 128}))
+
+  ode = throughput(lambda n: evals.eval_bpd_ode(
+      exp, config, num_is=1, max_batches=n, rtol=1e-5, atol=1e-5))
   print(json.dumps({'metric': 'ode_nll_images_per_sec_per_chip',
-                    'value': round(imgs / dt / n_chips, 4),
-                    'rtol': 1e-5, 'num_is': 1}))
+                    'value': round(ode, 4), 'rtol': 1e-5, 'num_is': 1}))
 
 
 if __name__ == '__main__':

@@ -17,8 +17,10 @@ Measures fwd+bwd of an 8-block GN->swish->conv3x3 chain at flagship shapes.
   python tools/gn_bench.py
 """
 
+import os
 import sys
-_REPO = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
   sys.path.insert(0, _REPO)
 

@@ -9,8 +9,10 @@ Runs one warmup super-step, traces the second, then parses the xplane proto
 tables — the measurement loop behind docs/PERF.md. No tensorboard needed.
 """
 
+import os
 import sys
-_REPO = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
   sys.path.insert(0, _REPO)
 
@@ -19,7 +21,6 @@ import argparse
 import collections
 import glob
 import json
-import os
 import time
 
 

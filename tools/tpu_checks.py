@@ -10,14 +10,15 @@ recorded in docs/PERF.md each round.
   python tools/tpu_checks.py
 """
 
+import os
 import sys
-_REPO = __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__)))
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
   sys.path.insert(0, _REPO)
 
 
 import json
-import sys
 
 import jax
 import jax.numpy as jnp
