@@ -38,6 +38,12 @@ def main():
   parser.add_argument('--imagenet32', action='store_true',
                       help='ImageNet32 architecture (sm_n_embd=256, '
                            'mulan_epsilon) at per-chip batch 64')
+  parser.add_argument('--gamma_high', action='store_true',
+                      help="gamma_precision='high' (3-pass bf16 MXU gamma "
+                           'MLP; gate: tools/tpu_checks.py)')
+  parser.add_argument('--mask_batch', action='store_true',
+                      help='dropout_mask_batch=True (all block masks from '
+                           'one pallas_call)')
   parser.add_argument('--substeps', type=int, default=50)
   args = parser.parse_args()
 
@@ -91,6 +97,12 @@ def main():
   if args.stacked:
     config.optimizer.stacked = True
     variant += '_stacked'
+  if args.gamma_high:
+    config.model.gamma_precision = 'high'
+    variant += '_gamma_high'
+  if args.mask_batch:
+    config.model.dropout_mask_batch = True
+    variant += '_mask_batch'
 
   n_chips = len(jax.devices())
   exp = Experiment(config)
@@ -116,12 +128,53 @@ def main():
   base = ('imagenet32_mulan_epsilon_train_steps_per_sec_per_chip'
           if args.imagenet32
           else 'cifar10_mulan_velocity_train_steps_per_sec_per_chip')
-  print(json.dumps({
+  record = {
       'metric': base + variant,
       'value': round(per_chip, 4),
       'unit': unit,
       'vs_baseline': round(per_chip / baseline, 4),
-  }))
+  }
+  mfu = _measured_mfu(exp, state, batch, float(np.median(times)))
+  if mfu is not None:
+    # hardware-grounded companion metric: achieved FLOP/s over the chips'
+    # bf16 peak (vs_baseline's denominator is an A100 ESTIMATE; mfu is not)
+    record['mfu'] = round(mfu, 4)
+  print(json.dumps(record))
+
+
+def _peak_flops_per_chip(device) -> 'float | None':
+  """Peak dense bf16 matmul FLOP/s by TPU generation (public spec sheets)."""
+  kind = getattr(device, 'device_kind', '').lower()
+  if 'v5 lite' in kind or 'v5e' in kind:
+    return 197e12
+  if 'v5p' in kind or 'v5' in kind:
+    return 459e12
+  if 'v4' in kind:
+    return 275e12
+  if 'v6' in kind:  # Trillium
+    return 918e12
+  return None
+
+
+def _measured_mfu(exp, state, batch, superstep_secs):
+  """Achieved-FLOPs/peak from XLA's own cost analysis of the compiled
+  super-step (counts every matmul/conv the program executes; fp32 gamma
+  matmuls are charged at bf16 peak, making this slightly conservative)."""
+  import jax
+  import numpy as np
+  peak = _peak_flops_per_chip(jax.devices()[0])
+  if peak is None:
+    return None
+  try:
+    cost = exp._p_superstep.lower(state, batch).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    flops = float(cost['flops'])
+  except Exception:
+    return None
+  if not np.isfinite(flops) or flops <= 0:
+    return None
+  return (flops / superstep_secs) / (peak * len(jax.devices()))
 
 
 if __name__ == '__main__':

@@ -125,10 +125,9 @@ def cluster_embeddings(embeddings, *, min_cosine: float = 0.9,
     if assignment[i] != -1:
       continue
     # leader FIRST so max_size truncation can never drop it from its own
-    # cluster
-    mates = [i] + [j for j in range(n)
-                   if j != i and assignment[j] == -1
-                   and sim[i, j] >= min_cosine]
+    # cluster; vectorized candidate scan keeps the loop O(n) numpy per leader
+    cand = np.where((sim[i] >= min_cosine) & (assignment == -1))[0]
+    mates = [i] + [int(j) for j in cand if j != i]
     if max_size is not None:
       mates = mates[:max_size]
     if len(mates) < min_size:

@@ -66,6 +66,13 @@ def get_config():
       compute_dtype='bfloat16',
       use_pallas=True,
       remat=False,
+      # gamma-MLP MXU pass count ('highest' = exact-f32 6-pass, 'high' =
+      # 3-pass, ~2x rate; flip only with tools/tpu_checks.py
+      # check_gamma_precision green) and batched dropout-mask generation
+      # (one pallas_call for all 67 block masks; +2.1 GB residual at
+      # batch 128) — see docs/PERF.md for the measured deltas.
+      gamma_precision='highest',
+      dropout_mask_batch=False,
   )
 
   config.training = d(

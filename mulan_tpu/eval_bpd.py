@@ -33,7 +33,10 @@ flags.DEFINE_integer('n_timesteps', 128,
 flags.DEFINE_integer('n_is', 20, 'Number of importance samples.')
 flags.DEFINE_integer('num_iters', 1, 'Number of passes over the test set.')
 flags.DEFINE_bool('deterministic_noise', False,
-                  'Reuse one Hutchinson draw across the solve.')
+                  'Accepted for reference-CLI parity but inert here: on '
+                  'device the Hutchinson draw is ALWAYS fixed within a '
+                  'solve (the reference redraws per RHS eval unless this '
+                  'flag fixes it) and fresh per importance sample.')
 flags.DEFINE_string('hutchinson_type', 'Rademacher',
                     'Hutchinson noise type: Rademacher/Gaussian.')
 flags.DEFINE_string('dequantization', 'tn', 'tn / uniform dequantization.')
@@ -46,6 +49,15 @@ flags.DEFINE_integer('max_steps', 5000,
                      '--on_solver_failure=warn).')
 flags.DEFINE_string('on_solver_failure', 'raise',
                     'raise / warn when an ODE solve hits max_steps.')
+flags.DEFINE_string('solver', 'dopri5',
+                    'ODE solver: dopri5 (adaptive, exact within rtol/atol) '
+                    'or rk4 (fixed grid — NFE is a throughput dial).')
+flags.DEFINE_integer('rk4_steps', 128,
+                     'Fixed-grid steps for --solver=rk4 (NFE = 4*steps).')
+flags.DEFINE_integer('is_batch', 0,
+                     'Importance samples batched into ONE ODE solve '
+                     '(tiled along the sharded batch axis). 0 = auto '
+                     '(~128 rows/chip); 1 = the reference serial IS loop.')
 flags.DEFINE_bool('multiprocess', False,
                   'Call jax.distributed.initialize() (multi-host TPU).')
 flags.mark_flags_as_required(['config', 'checkpoint_directory'])
@@ -85,7 +97,9 @@ def main(argv):
         num_iters=FLAGS.num_iters, num_is=FLAGS.n_is,
         rtol=FLAGS.rtol, atol=FLAGS.atol,
         first_step=FLAGS.first_step, max_steps=FLAGS.max_steps,
-        on_solver_failure=FLAGS.on_solver_failure)
+        on_solver_failure=FLAGS.on_solver_failure,
+        solver=FLAGS.solver, rk4_steps=FLAGS.rk4_steps,
+        is_batch=FLAGS.is_batch)
   else:
     raise ValueError(f'unknown --bpd_eval_method: {FLAGS.bpd_eval_method!r}')
 

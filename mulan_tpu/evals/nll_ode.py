@@ -5,8 +5,9 @@ Parity: /root/reference/ldm/notebook_utils.py:194-531 (`get_ode_likelihood_fn`,
 inverted: the reference runs scipy RK45 on the HOST in float64 and pays a
 host<->device round-trip per RHS evaluation plus a pmap dispatch; here the
 entire likelihood — dequantization, encoder, Hutchinson divergence, adaptive
-Dormand-Prince solve, prior logp, importance weighting — is one jit'd XLA
-program per (batch, IS-sample), shardable over the mesh, multi-host capable.
+Dormand-Prince (or fixed-grid RK4) solve, prior logp, importance weighting —
+is one jit'd XLA program per (batch, IS-group), with IS samples tiled along
+the mesh-sharded batch axis, multi-chip and multi-host.
 
 Numerics vs the reference:
   * state is float32 with the drift's `high_precision=True` log-domain guards
@@ -30,6 +31,7 @@ Numerics vs the reference:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 from absl import logging
@@ -39,7 +41,7 @@ import numpy as np
 
 from mulan_tpu import data as data_lib
 from mulan_tpu.models import latents
-from mulan_tpu.ops.ode import odeint_dopri5
+from mulan_tpu.ops.ode import odeint_dopri5, odeint_rk4
 from mulan_tpu.parallel import mesh as mesh_lib
 
 _TN_LOG_Z = np.log(0.9974613)  # normalizer of TN(-3, 3)
@@ -162,32 +164,81 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
                  max_batches: Optional[int] = None,
                  high_precision: bool = True,
                  first_step: float = 0.01, max_steps: int = 5000,
-                 on_solver_failure: str = 'raise') -> float:
+                 on_solver_failure: str = 'raise',
+                 solver: str = 'dopri5', rk4_steps: int = 128,
+                 is_batch: int = 0) -> float:
   """Importance-weighted exact-NLL BPD over the eval split
-  (notebook_utils.py:461-531). `deterministic_noise` reuses one Hutchinson
-  draw across IS samples (reference flag); noise is always fixed within a
-  solve (see module docstring).
+  (notebook_utils.py:461-531), multi-chip AND multi-host.
+
+  IS samples are solved in BATCHED groups: the image batch is tiled
+  `is_batch`x along the (mesh-sharded) batch axis so one ODE solve advances
+  many importance samples at once — they are embarrassingly parallel, and a
+  solve's cost is dominated by per-RHS UNet evals whose batch dimension the
+  MXU wants large. `is_batch=0` auto-sizes the group so one solve carries
+  ~128 rows per chip (the train-step batch density); `is_batch=1` recovers
+  the reference's serial IS loop (notebook_utils.py:484-531). Within a
+  group the solver's adaptive step control is shared (exactly as it already
+  is across the batch), so NFE/solve can rise slightly while NFE/image
+  drops by ~the group factor.
+
+  `solver='rk4'` switches the adaptive DoPri5 for a fixed `rk4_steps`-step
+  RK4 grid: NFE becomes a dial (4*rk4_steps) for throughput-vs-exactness
+  sweeps; `success` is vacuously true there, and accuracy must be validated
+  against dopri5 (tests/test_ode.py::test_rk4_converges_to_dopri5).
+
+  `deterministic_noise` is accepted for reference-CLI parity but inert: the
+  reference redraws Hutchinson noise per RHS evaluation unless this flag
+  fixes it; on device the noise is ALWAYS fixed within a solve (an adaptive
+  controller reads a stochastic RHS as stiffness) and fresh per IS sample.
 
   Every solve's `success` flag is checked: an unconverged (max_steps-hit)
   solve either raises (default) or, with on_solver_failure='warn', logs an
-  error and EXCLUDES that batch from the mean — never silently averages
-  garbage. Per-batch NFE is logged so solver cost on stiff trained
-  schedules is visible.
+  error and EXCLUDES that batch from the mean — and the final mean reports
+  how many batches were excluded, raising if more than 5% were (a silently
+  biased-toward-easy-examples BPD must not look like a clean run).
+
+  Per-sample aux: the latent KL enters the estimator per IS draw (averaged
+  over draws). The reference keeps only the last draw's aux with a comment
+  that all draws agree (notebook_utils.py:510-523) — true up to
+  requantization ties under 'tn' dequantization; averaging is equal there
+  and strictly lower-variance otherwise.
   """
-  del deterministic_noise  # within-solve noise is always fixed on device
+  del deterministic_noise  # see docstring: always fixed within a solve
   if on_solver_failure not in ('raise', 'warn'):
     raise ValueError(f'on_solver_failure: {on_solver_failure!r}')
   model = experiment.model
   cfg = experiment.model_config
   if params is None:
     params = experiment.state.ema_params
+  mesh = experiment.mesh
+  n_dev = mesh.devices.size
+  pc = jax.process_count()
+  assert n_dev % pc == 0, (n_dev, pc)
+  local_n = n_dev // pc
+
+  odeint = odeint_dopri5
+  if solver == 'rk4':
+    odeint = functools.partial(odeint_rk4, num_steps=rk4_steps)
+  elif solver != 'dopri5':
+    raise ValueError(f'unknown solver: {solver!r}')
   likelihood = make_ode_likelihood_fn(
       model, cfg, hutchinson_type=hutchinson_type, rtol=rtol, atol=atol,
       dequantization=dequantization, high_precision=high_precision,
-      first_step=first_step, max_steps=max_steps)
-  likelihood = jax.jit(likelihood)
+      first_step=first_step, max_steps=max_steps, odeint=odeint)
   offset = bpd_offset(dequantization, num_is, cfg.gamma_min)
-  sharding = mesh_lib.batch_sharding(experiment.mesh)
+  sharding = mesh_lib.batch_sharding(mesh)
+  replicated = mesh_lib.replicated_sharding(mesh)
+
+  @functools.partial(jax.jit, static_argnames=('n_rep',),
+                     out_shardings=replicated)
+  def likelihood_group(params, rng, images, mask, n_rep):
+    """One solve over `n_rep` IS copies of the batch; replicated outputs."""
+    b = images.shape[0]
+    tiled = jnp.tile(images, (n_rep,) + (1,) * (images.ndim - 1))
+    tiled = jax.lax.with_sharding_constraint(tiled, sharding)
+    log_p, log_q, aux, stats = likelihood(params, rng, tiled)
+    return (log_p.reshape(n_rep, b), log_q.reshape(n_rep, b),
+            aux.reshape(n_rep, b), stats, mask)
 
   iter_means = []
   rng = jax.random.PRNGKey(0)
@@ -196,17 +247,35 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
     loader = data_lib.create_one_time_eval_dataset(config, batch_size)
     bpds = []
     total_nfe = 0
+    n_excluded = 0
     for bi, batch in enumerate(loader):
       if max_batches is not None and bi >= max_batches:
         break
-      images = jax.device_put(batch['images'], sharding)
-      log_ps, log_qs = [], []
-      aux = None
+      n_valid = len(batch['images'])
+      pad = -n_valid % local_n  # pad the HOST-local batch to local devices
+      images = batch['images']
+      if pad:
+        images = np.concatenate([images, images[:pad]], axis=0)
+      put = mesh_lib.shard_batch(mesh, {
+          'images': images,
+          'mask': np.arange(n_valid + pad) < n_valid})
+      b_global = put['images'].shape[0]
+      if is_batch <= 0:  # auto: ~128 state rows per chip and per solve
+        group = max(1, min(num_is, (128 * n_dev) // max(b_global, 1)))
+      else:
+        group = min(is_batch, num_is)
+      groups = [group] * (num_is // group)
+      if num_is % group:
+        groups.append(num_is % group)
+
+      log_ps, log_qs, auxs = [], [], []
       batch_nfe = 0
       batch_ok = True
-      for _ in range(num_is):
+      mask = None
+      for n_rep in groups:
         iter_rng, is_rng = jax.random.split(iter_rng)
-        log_p, log_q, aux, stats = likelihood(params, is_rng, images)
+        log_p, log_q, aux, stats, mask = likelihood_group(
+            params, is_rng, put['images'], put['mask'], n_rep)
         if not bool(stats['success']):
           msg = (f'ODE solve hit max_steps={max_steps} without converging '
                  f'(batch {bi}, nfe={int(stats["nfe"])}, '
@@ -218,27 +287,41 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
           batch_ok = False
           break
         batch_nfe += int(stats['nfe'])
-        log_ps.append(log_p)
-        log_qs.append(log_q)
+        log_ps.append(np.asarray(log_p))
+        log_qs.append(np.asarray(log_q))
+        auxs.append(np.asarray(aux))
       if not batch_ok:
+        n_excluded += 1
         continue
-      log_ps = jnp.stack(log_ps)
-      log_qs = jnp.stack(log_qs)
+      mask = np.asarray(mask, bool)
+      log_ps = np.concatenate(log_ps, axis=0)  # (num_is, B)
+      log_qs = np.concatenate(log_qs, axis=0)
+      aux = np.concatenate(auxs, axis=0).mean(axis=0)  # per-sample mean
       if num_is == 1:
         iws = log_ps[0]
       else:
         iws = jax.scipy.special.logsumexp(
-            log_ps - log_qs, axis=0) - jnp.log(num_is)
-      bpd = float(jnp.mean(-iws + aux) / (cfg.n_pixels * np.log(2.0))
+            jnp.asarray(log_ps - log_qs), axis=0) - jnp.log(num_is)
+        iws = np.asarray(iws)
+      per_example = -iws + aux
+      bpd = float(per_example[mask].mean() / (cfg.n_pixels * np.log(2.0))
                   + offset)
       bpds.append(bpd)
       total_nfe += batch_nfe
-      logging.info('ode eval batch %d: cum bpd %.4f (nfe %d, mean nfe/solve '
-                   '%.0f)', bi, np.mean(bpds), batch_nfe,
-                   total_nfe / (len(bpds) * num_is))
+      logging.info('ode eval batch %d: cum bpd %.4f (nfe %d, nfe per '
+                   'image-sample %.1f)', bi, np.mean(bpds), batch_nfe,
+                   batch_nfe / (num_is * max(int(mask.sum()), 1)))
     if not bpds:
       raise RuntimeError('every ODE batch failed to converge; raise '
                          'max_steps or loosen rtol/atol.')
+    if n_excluded:
+      frac = n_excluded / (n_excluded + len(bpds))
+      msg = (f'{n_excluded}/{n_excluded + len(bpds)} batches '
+             f'({100 * frac:.1f}%) were excluded as unconverged — the BPD '
+             f'mean is biased toward less-stiff examples.')
+      if frac > 0.05:
+        raise RuntimeError(msg + ' Raise max_steps or loosen rtol/atol.')
+      logging.error(msg)
     iter_means.append(float(np.mean(bpds)))
     logging.info('[iter %d] test bpd: %.4f', it, iter_means[-1])
   return float(np.mean(iter_means))

@@ -17,6 +17,7 @@ Parity: /root/reference/ldm/notebook_utils.py:157-191.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 from absl import logging
@@ -70,7 +71,7 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
                    params=None, batch_size: Optional[int] = None,
                    images_per_chunk: Optional[int] = None,
                    max_batches: Optional[int] = None) -> float:
-  """Dense per-timestep VLB sweep, multi-image and mesh-sharded.
+  """Dense per-timestep VLB sweep, multi-image, mesh-sharded, multi-host.
 
   For each image, evaluates the ELBO on the stratified grid
   t_j = (u_i + j/n_timesteps) mod 1 with an independent random offset u_i per
@@ -78,6 +79,14 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
   n_timesteps tiled copies of a single image, notebook_utils.py:183). Each
   grid copy re-samples its own latent embedding and diffusion noise, matching
   reference semantics.
+
+  Multi-host: every process feeds its local loader shard through
+  `mesh_lib.shard_batch` (process-local-data assembly — the same path the
+  train loop uses); per-image results come back replicated so every host
+  computes the identical global mean. `images_per_chunk` counts PER-HOST
+  images per compiled call. Chunks are padded per host to the local device
+  count and de-padded via a mask that rides through the jit, so host-side
+  code never depends on the global device order.
   """
   model = experiment.model
   cfg = experiment.model_config
@@ -85,10 +94,13 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
     params = experiment.state.ema_params
   if batch_size is None:
     batch_size = config.training.batch_size_eval
-  # how many (image, t) pairs one compiled call processes
   n_dev = experiment.mesh.devices.size
+  pc = jax.process_count()
+  assert n_dev % pc == 0, (n_dev, pc)
+  local_n = n_dev // pc
   if images_per_chunk is None:
-    images_per_chunk = max(1, (n_dev * 128) // n_timesteps)
+    # how many (image, t) pairs one compiled call processes, per host
+    images_per_chunk = max(1, (n_dev * 128) // n_timesteps // pc)
 
   loader = data_lib.create_one_time_eval_dataset(config, batch_size)
   rng = jax.random.PRNGKey(0)
@@ -102,9 +114,15 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
                    and cfg.latent_type in ('topk', 'gumbel')
                    and cfg.reparam_type == 'true')
 
-  @jax.jit
-  def chunk_bpd(params, images, conditioning, labels, rng):
-    """images: (B, H, W, C) -> per-image mean bpd over the t-grid."""
+  replicated = mesh_lib.replicated_sharding(experiment.mesh)
+
+  @functools.partial(jax.jit, out_shardings=(replicated, replicated))
+  def chunk_bpd(params, images, conditioning, labels, mask, rng):
+    """images: (B, H, W, C) -> (per-image mean bpd over the t-grid, mask).
+
+    The mask passes THROUGH the jit so the host reads per-image values and
+    their validity in the same (global, replicated) order.
+    """
     b = images.shape[0]
     rng, t_rng, elbo_rng = jax.random.split(rng, 3)
     u = jax.random.uniform(t_rng, (b, 1))
@@ -123,32 +141,35 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
         step=0, t=t, rngs={'sample': elbo_rng}, deterministic=True,
         method=model.elbo, **kwargs)
     bpd = _bpd_terms(outputs, cfg.n_pixels).reshape(b, n_timesteps)
-    return jnp.mean(bpd, axis=1)
+    return jnp.mean(bpd, axis=1), mask
 
-  sharding = mesh_lib.batch_sharding(experiment.mesh)
   bpds = []
   n_images = 0
   for bi, batch in enumerate(loader):
     if max_batches is not None and bi >= max_batches:
       break
-    images = batch['images']
-    for lo in range(0, len(images), images_per_chunk):
+    for lo in range(0, len(batch['images']), images_per_chunk):
       sl = slice(lo, lo + images_per_chunk)
-      chunk = images[sl]
-      if len(chunk) % n_dev != 0:  # pad to the device count, then mask
-        pad = -len(chunk) % n_dev
-        chunk = np.concatenate([chunk, chunk[:pad]], axis=0)
-        mask = np.arange(len(chunk)) < (len(chunk) - pad)
-      else:
-        mask = np.ones(len(chunk), bool)
+      # Real labels/conditioning ride along like the reference's
+      # loss_fn(batch) (notebook_utils.py:185) — they matter for
+      # reparam_type != 'true' (one-hot label embeddings) and conditioned
+      # evals.
+      chunk = {'images': batch['images'][sl],
+               'labels': np.asarray(batch['labels'][sl], np.int32),
+               'conditioning': np.asarray(batch['conditioning'][sl],
+                                          np.uint8)}
+      n_valid = len(chunk['images'])
+      pad = -n_valid % local_n  # pad the HOST-local chunk to local devices
+      if pad:
+        chunk = {k: np.concatenate([v, v[:pad]], axis=0)
+                 for k, v in chunk.items()}
+      chunk['mask'] = np.arange(n_valid + pad) < n_valid
       rng, step_rng = jax.random.split(rng)
-      # eval batches carry zero conditioning/labels (pipeline contract)
-      per_image = chunk_bpd(
-          params,
-          jax.device_put(chunk, sharding),
-          jax.device_put(np.zeros(len(chunk), np.uint8), sharding),
-          jax.device_put(np.zeros(len(chunk), np.int32), sharding),
-          step_rng)
+      chunk = mesh_lib.shard_batch(experiment.mesh, chunk)
+      per_image, mask = chunk_bpd(
+          params, chunk['images'], chunk['conditioning'], chunk['labels'],
+          chunk['mask'], step_rng)
+      mask = np.asarray(mask, bool)
       bpds.extend(np.asarray(per_image)[mask].tolist())
       n_images += int(mask.sum())
     if n_images % 512 < images_per_chunk:

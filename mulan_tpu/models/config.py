@@ -82,6 +82,26 @@ class ModelConfig:
   compute_dtype: str = 'float32'  # 'float32' | 'bfloat16' (UNet compute only)
   use_pallas: bool = False        # route hot ops through Pallas kernels
   remat: bool = False             # jax.checkpoint the UNet blocks
+  # MXU pass count for the gamma-MLP matmuls. Storage/accumulation stays
+  # float32 either way; 'highest' = 6-pass bf16 (exact f32 emulation, the
+  # reference's pinned fp32-matmul behavior), 'high' = 3-pass bf16 (~2x MXU
+  # rate, ~1e-7 relative matmul error — validated on hardware by
+  # tools/tpu_checks.py check_gamma_precision before use).
+  gamma_precision: str = 'highest'  # 'highest' | 'high' | 'default'
+  # Generate ALL ResNet-block dropout masks in one pallas_call per UNet
+  # forward instead of one (fwd) + one (bwd regeneration) per block. Trades
+  # +n_blocks * activation-size HBM residual for ~130 fewer kernel launches
+  # per train step (docs/NEXT.md item 2). Only active with use_pallas.
+  dropout_mask_batch: bool = False
+
+  @property
+  def gamma_matmul_precision(self):
+    import jax
+    return {
+        'highest': jax.lax.Precision.HIGHEST,
+        'high': jax.lax.Precision.HIGH,
+        'default': jax.lax.Precision.DEFAULT,
+    }[self.gamma_precision]
 
   @property
   def n_pixels(self) -> int:

@@ -112,12 +112,13 @@ class DenseMonotone(nn.Module):
   use_bias: bool = True
   kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
   bias_init: nn.initializers.Initializer = nn.initializers.zeros
+  precision: Optional[jax.lax.Precision] = None
 
   @nn.compact
   def __call__(self, x):
     kernel = self.param('kernel', self.kernel_init,
                         (x.shape[-1], self.features))
-    y = x @ jnp.abs(kernel)
+    y = jnp.matmul(x, jnp.abs(kernel), precision=self.precision)
     if self.use_bias:
       y = y + self.param('bias', self.bias_init, (self.features,))
     return y
@@ -141,7 +142,8 @@ class ResnetBlock(nn.Module):
   hw_dropout: bool = False  # Pallas hardware-PRNG dropout (ops/dropout.py)
 
   @nn.compact
-  def __call__(self, x, cond, deterministic: bool = True):
+  def __call__(self, x, cond, deterministic: bool = True,
+               dropout_mask=None):
     out_ch = x.shape[-1] if self.out_ch is None else self.out_ch
 
     h = nn.swish(GroupNormF32(dtype=self.dtype)(x))
@@ -156,7 +158,10 @@ class ResnetBlock(nn.Module):
         assert proj.shape == h.shape, (proj.shape, h.shape)
         h = h + proj
     h = nn.swish(GroupNormF32(dtype=self.dtype)(h))
-    if self.pdrop > 0 and not deterministic and self.hw_dropout:
+    if dropout_mask is not None:    # pre-generated (batched) pre-scaled mask
+      assert dropout_mask.shape == h.shape, (dropout_mask.shape, h.shape)
+      h = h * dropout_mask.astype(h.dtype)
+    elif self.pdrop > 0 and not deterministic and self.hw_dropout:
       from mulan_tpu.ops.dropout import hw_dropout, seed_from_key
       h = hw_dropout(h, seed_from_key(self.make_rng('dropout')), self.pdrop)
     else:

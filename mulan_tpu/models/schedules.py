@@ -213,13 +213,16 @@ class NoiseSchedulePolynomialFixedend(MulanSchedule):
   def setup(self):
     n_out = self.config.n_pixels
     width = self.n_features if self.n_features > 0 else n_out
-    self.l1 = nn.Dense(width, name='dense_1')
-    self.l2 = nn.Dense(width, name='dense_2')
+    # MXU pass count for the f32 coefficient matmuls (config.gamma_precision;
+    # storage/accumulation stays float32 at every setting).
+    prec = self.config.gamma_matmul_precision
+    self.l1 = nn.Dense(width, name='dense_1', precision=prec)
+    self.l2 = nn.Dense(width, name='dense_2', precision=prec)
     self.l3_a = nn.Dense(n_out, name='dense_out_a',
                          kernel_init=nn.initializers.zeros,
-                         bias_init=nn.initializers.zeros)
-    self.l3_b = nn.Dense(n_out, name='dense_out_b')
-    self.l3_c = nn.Dense(n_out, name='dense_out_c')
+                         bias_init=nn.initializers.zeros, precision=prec)
+    self.l3_b = nn.Dense(n_out, name='dense_out_b', precision=prec)
+    self.l3_c = nn.Dense(n_out, name='dense_out_c', precision=prec)
 
   def _coefficients(self, embedding):
     h = nn.swish(self.l1(embedding.astype(jnp.float32)))
@@ -323,12 +326,15 @@ class MulanScheduleNNet(MulanSchedule):
     n_out = c.n_pixels
     width = self.n_features if self.n_features > 0 else n_out
     kernel_init = nn.initializers.normal()
+    prec = c.gamma_matmul_precision
     self.l1 = DenseMonotone(
         1, kernel_init=constant_init(c.gamma_max - c.gamma_min),
-        bias_init=constant_init(c.gamma_min))
-    self.l2 = DenseMonotone(width, kernel_init=kernel_init)
-    self.l_int = DenseMonotone(width, kernel_init=kernel_init)
-    self.l3 = DenseMonotone(n_out, kernel_init=kernel_init, use_bias=False)
+        bias_init=constant_init(c.gamma_min), precision=prec)
+    self.l2 = DenseMonotone(width, kernel_init=kernel_init, precision=prec)
+    self.l_int = DenseMonotone(width, kernel_init=kernel_init,
+                               precision=prec)
+    self.l3 = DenseMonotone(n_out, kernel_init=kernel_init, use_bias=False,
+                            precision=prec)
 
   def __call__(self, embedding, t):
     t = t.reshape(-1, 1).astype(jnp.float32)

@@ -85,10 +85,28 @@ class UNet(nn.Module):
     # with_attention=True (66 blocks) at batch 128 without remat.
     attn_cls = nn.remat(AttnBlock) if cfg.remat else AttnBlock
 
+    # Batched mask generation: every block's dropout mask has the same
+    # (B, H, W, n_embd) shape (all blocks project to n_embd before the
+    # dropout site), so one pallas_call can emit all of them
+    # (config.dropout_mask_batch; see ops/dropout.py hw_mask_batch).
+    masks = None
+    if (cfg.dropout_mask_batch and cfg.use_pallas and cfg.sm_pdrop > 0
+        and not deterministic):
+      from mulan_tpu.ops.dropout import hw_mask_batch, seed_from_key
+      n_blocks = 2 * n_layers + 3  # down + mid(2) + up blocks
+      masks = hw_mask_batch(
+          seed_from_key(self.make_rng('dropout')), n_blocks,
+          (z.shape[0], z.shape[1], z.shape[2], n_embd), cfg.sm_pdrop, dtype)
+    block_idx = [0]
+
     def res_block(name, h, out_ch=None):
+      mask = None
+      if masks is not None:
+        mask = masks[block_idx[0]]
+        block_idx[0] += 1
       return block_cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
                        hw_dropout=cfg.use_pallas, name=name)(
-                           h, cond, deterministic)
+                           h, cond, deterministic, mask)
 
     for i in range(n_layers):
       h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)
@@ -109,6 +127,8 @@ class UNet(nn.Module):
         h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
                      name=f'up_attn_{i}')(h)
     assert not hs
+    if masks is not None:
+      assert block_idx[0] == masks.shape[0], (block_idx[0], masks.shape)
 
     h = nn.swish(GroupNormF32(dtype=dtype)(h))
     eps_pred = nn.Conv(z.shape[-1], (3, 3), dtype=dtype,

@@ -80,13 +80,12 @@ def _threshold16(rate: float) -> int:
 
 
 def effective_rate(rate: float, backend: Optional[str] = None) -> float:
-  """The realized drop probability: the TPU kernel quantizes `rate` to
-  16-bit granularity (<= 7.6e-6 absolute error); the scale uses this so
-  E[mask] == 1 exactly."""
-  if backend is None:
-    backend = jax.default_backend()
-  if backend != 'tpu':
-    return rate
+  """The realized drop probability on EVERY backend: the TPU kernel
+  quantizes `rate` to 16-bit granularity (<= 7.6e-6 absolute error) and the
+  CPU fallback adopts the same quantization, so both paths share one
+  realized-rate definition and E[mask] == 1 exactly on both. The `backend`
+  arg is kept for call-site documentation only."""
+  del backend
   return _threshold16(rate) / 65536.0
 
 
@@ -95,9 +94,13 @@ def _hw_mask(seed, shape, rate: float, dtype) -> jax.Array:
   if jax.default_backend() != 'tpu':
     # Off-TPU fallback (tests / CPU): same regenerate-from-seed semantics,
     # threefry bit source (pltpu.prng_* has no CPU interpret lowering).
-    scale = 1.0 / (1.0 - rate)
+    # Uses the TPU kernel's 16-bit-quantized effective rate so both backends
+    # share ONE realized-rate definition (mask scale values match
+    # cross-backend even for rates not representable in 16 bits).
+    rate_eff = effective_rate(rate, 'tpu')
+    scale = 1.0 / (1.0 - rate_eff)
     key = jax.random.PRNGKey(jnp.abs(seed).astype(jnp.uint32))
-    keep = jax.random.bernoulli(key, 1.0 - rate, shape)
+    keep = jax.random.bernoulli(key, 1.0 - rate_eff, shape)
     return keep.astype(dtype) * jnp.asarray(scale, dtype)
   scale = 1.0 / (1.0 - effective_rate(rate, 'tpu'))
   rows, cols, n = _shape2d(shape)
@@ -112,6 +115,47 @@ def _hw_mask(seed, shape, rate: float, dtype) -> jax.Array:
       out_shape=jax.ShapeDtypeStruct((rows, cols), dtype),
   )(seed.reshape(1))
   return mask2d.reshape(-1)[:n].reshape(shape)
+
+
+def hw_mask_batch(seed, n_masks: int, shape, rate: float,
+                  dtype) -> jax.Array:
+  """`n_masks` pre-scaled dropout masks of `shape` from ONE pallas_call.
+
+  The per-block `hw_dropout` path costs one mask kernel per ResNet block in
+  the forward pass and one more per block in the backward regeneration —
+  134 pallas_calls/step at flagship depth, ~5 ms of per-call overhead over
+  the bandwidth ideal (docs/NEXT.md item 2). This variant generates every
+  block's mask up front in a single kernel (same per-tile seed striping, so
+  the bit streams stay decorrelated) and lets the multiply's backward read
+  the SAVED mask instead of regenerating: 1 pallas_call/step total, at the
+  cost of keeping the (n_masks, *shape) buffer alive to the backward pass
+  (+n_masks * prod(shape) * dtype bytes of residual HBM — flag-gated via
+  config.dropout_mask_batch for exactly that reason).
+
+  Statistical contract matches `_hw_mask` (values in {0, 1/(1-rate_eff)},
+  E[mask] = 1); validated on hardware by tools/tpu_checks.py.
+  """
+  if jax.default_backend() != 'tpu':
+    # CPU fallback: one threefry draw for the whole batch of masks.
+    rate_eff = effective_rate(rate, 'tpu')
+    scale = 1.0 / (1.0 - rate_eff)
+    key = jax.random.PRNGKey(jnp.abs(seed).astype(jnp.uint32))
+    keep = jax.random.bernoulli(key, 1.0 - rate_eff, (n_masks, *shape))
+    return keep.astype(dtype) * jnp.asarray(scale, dtype)
+  scale = 1.0 / (1.0 - effective_rate(rate, 'tpu'))
+  rows, cols, n = _shape2d(shape)
+  total_rows = n_masks * rows
+  kernel = functools.partial(_mask_kernel, threshold16=_threshold16(rate),
+                             scale=scale)
+  mask2d = pl.pallas_call(
+      kernel,
+      grid=(total_rows // _tile(total_rows),),
+      in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+      out_specs=pl.BlockSpec((_tile(total_rows), cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((total_rows, cols), dtype),
+  )(seed.reshape(1))
+  return mask2d.reshape(n_masks, -1)[:, :n].reshape(n_masks, *shape)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -141,3 +141,36 @@ def odeint_dopri5(func: Callable, y0: jax.Array, t0: float, t1: float, *,
   return ODESolution(y=out.y, num_steps=out.steps,
                      num_rejected=out.rejected, nfe=out.nfe,
                      success=jnp.logical_not(out.failed))
+
+
+def odeint_rk4(func: Callable, y0: jax.Array, t0: float, t1: float, *,
+               num_steps: int = 128, **unused_tolerances) -> ODESolution:
+  """Fixed-grid classic RK4 over `num_steps` equal steps.
+
+  Throughput mode for the exact-NLL evaluator: NFE is exactly
+  4 * num_steps regardless of schedule stiffness, so eval cost is a dial
+  (the adaptive DoPri5 spends 1-3k NFE/solve at paper tolerances on
+  trained schedules — docs/PERF.md). A `lax.scan` (static trip count)
+  instead of DoPri5's `lax.while_loop`; rtol/atol are accepted and
+  ignored so both solvers share a call signature.
+  """
+  del unused_tolerances
+  y0 = jnp.asarray(y0, jnp.float32)
+  h = jnp.float32(t1 - t0) / num_steps
+
+  def rhs(t, y):
+    return jnp.asarray(func(t, y), jnp.float32)
+
+  def step(y, i):
+    t = jnp.float32(t0) + i.astype(jnp.float32) * h
+    k1 = rhs(t, y)
+    k2 = rhs(t + 0.5 * h, y + 0.5 * h * k1)
+    k3 = rhs(t + 0.5 * h, y + 0.5 * h * k2)
+    k4 = rhs(t + h, y + h * k3)
+    return y + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), None
+
+  y, _ = jax.lax.scan(step, y0, jnp.arange(num_steps))
+  return ODESolution(y=y, num_steps=jnp.int32(num_steps),
+                     num_rejected=jnp.int32(0),
+                     nfe=jnp.int32(4 * num_steps),
+                     success=jnp.asarray(True))

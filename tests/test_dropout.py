@@ -4,7 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mulan_tpu.ops.dropout import hw_dropout, seed_from_key
+from mulan_tpu.ops.dropout import (effective_rate, hw_dropout, hw_mask_batch,
+                                   seed_from_key)
 
 
 def test_mask_statistics_and_scaling(rng):
@@ -57,6 +58,51 @@ def test_bf16_path(rng):
   x = jnp.ones((8, 8, 128), jnp.bfloat16)
   out = hw_dropout(x, jnp.int32(5), 0.1)
   assert out.dtype == jnp.bfloat16
+
+
+def test_mask_batch_statistics():
+  """hw_mask_batch shares _hw_mask's statistical contract: {0, scale}
+  values at the quantized effective rate, distinct masks per slot."""
+  rate = 0.1
+  masks = np.asarray(hw_mask_batch(jnp.int32(42), 4, (8, 16, 128), rate,
+                                   jnp.float32))
+  assert masks.shape == (4, 8, 16, 128)
+  scale = 1.0 / (1.0 - effective_rate(rate))
+  assert np.all((masks == 0.0) | np.isclose(masks, scale, rtol=1e-6))
+  fracs = (masks == 0.0).reshape(4, -1).mean(axis=1)
+  assert np.all(np.abs(fracs - rate) < 0.03), fracs
+  for i in range(4):
+    for j in range(i + 1, 4):
+      assert not np.array_equal(masks[i], masks[j])
+
+
+def test_model_elbo_with_batched_dropout_masks(tiny_config, rng):
+  """Training-mode ELBO with dropout_mask_batch: one mask batch per UNet
+  call, and the result is finite with the masks actually applied."""
+  import dataclasses
+  from mulan_tpu.models import build_model
+  cfg = dataclasses.replace(tiny_config, use_pallas=True,
+                            dropout_mask_batch=True)
+  model = build_model('mulan_epsilon', cfg)
+  images = jnp.zeros((2, 8, 8, 3), 'uint8')
+  labels = jnp.zeros((2,), 'int32')
+  cond = jnp.zeros((2,))
+  r1, r2 = jax.random.split(rng)
+  params = model.init({'params': r1, 'sample': r2}, images, labels, cond,
+                      step=-1.0)
+  rngs = {'sample': r2, 'dropout': jax.random.fold_in(r2, 1)}
+  out = model.apply(params, images, labels, cond, step=0.0, rngs=rngs,
+                    deterministic=False)
+  assert jnp.all(jnp.isfinite(out.loss_diff))
+  # gradients flow through the mask multiply
+  def loss(p):
+    o = model.apply(p, images, labels, cond, step=0.0, rngs=rngs,
+                    deterministic=False)
+    return jnp.sum(o.loss_diff)
+  grads = jax.grad(loss)(params)
+  gnorm = float(jnp.sqrt(sum(jnp.sum(g * g).astype(jnp.float32)
+                             for g in jax.tree.leaves(grads))))
+  assert np.isfinite(gnorm) and gnorm > 0
 
 
 def test_model_elbo_with_hw_dropout(tiny_config, rng):

@@ -54,6 +54,89 @@ def test_ode_nll_runs_and_is_finite(trained_tiny):
   assert np.isfinite(bpd)
 
 
+def test_ode_is_batched_modes_agree(trained_tiny):
+  """Batched IS (tiled into one solve) and the reference-style serial loop
+  estimate the same quantity; on the same model/data they agree to
+  estimator-noise tolerance."""
+  exp, config, _ = trained_tiny
+  serial = evals.eval_bpd_ode(exp, config, num_is=3, is_batch=1,
+                              max_batches=1, rtol=1e-3, atol=1e-3)
+  batched = evals.eval_bpd_ode(exp, config, num_is=3, is_batch=2,
+                               max_batches=1, rtol=1e-3, atol=1e-3)
+  assert np.isfinite(serial) and np.isfinite(batched)
+  assert abs(serial - batched) < 1.0, (serial, batched)
+
+
+def test_ode_rk4_end_to_end(trained_tiny):
+  exp, config, _ = trained_tiny
+  bpd = evals.eval_bpd_ode(exp, config, num_is=2, max_batches=1,
+                           solver='rk4', rk4_steps=16)
+  assert np.isfinite(bpd)
+
+
+def test_ode_rk4_likelihood_converges_to_dopri5(trained_tiny, rng):
+  """Fixed-grid RK4 at a generous step count reproduces the adaptive
+  DoPri5 likelihood on identical randomness (only the solver differs) —
+  the recorded BPD-drift bound for throughput mode."""
+  import functools
+  from mulan_tpu.ops.ode import odeint_rk4
+  exp, _, _ = trained_tiny
+  model, cfg = exp.model, exp.model_config
+  params = exp.state.ema_params
+  images = np.full((2, *cfg.image_shape), 100, np.uint8)
+
+  ref_fn = make_ode_likelihood_fn(model, cfg, rtol=1e-5, atol=1e-5)
+  ref_logp, _, _, ref_stats = ref_fn(params, rng, images)
+  assert bool(ref_stats['success'])
+  rk4_fn = make_ode_likelihood_fn(
+      model, cfg, odeint=functools.partial(odeint_rk4, num_steps=128))
+  rk4_logp, _, _, _ = rk4_fn(params, rng, images)
+  d = cfg.n_pixels
+  # per-pixel-bpd-scale agreement: |delta log_p| / (D ln 2) < 0.01 bpd
+  drift = np.max(np.abs(np.asarray(rk4_logp) - np.asarray(ref_logp)))
+  assert drift / (d * np.log(2.0)) < 0.01, drift
+
+
+def test_ode_failure_exclusion_accounting(trained_tiny):
+  """on_solver_failure='warn' must not silently return a biased mean: when
+  every batch fails the evaluator raises, naming the exclusions."""
+  exp, config, _ = trained_tiny
+  with pytest.raises(RuntimeError, match='failed to converge'):
+    evals.eval_bpd_ode(exp, config, num_is=1, max_batches=1,
+                       rtol=1e-10, atol=1e-12, first_step=1e-6,
+                       max_steps=3, on_solver_failure='warn')
+
+
+def test_dense_vlb_uses_loader_labels(monkeypatch):
+  """With reparam_type != 'true' the embedding is one_hot(labels): the dense
+  evaluator must feed the LOADER's labels (the reference passes the batch
+  through loss_fn, notebook_utils.py:185), not zeros."""
+  from mulan_tpu.evals import vlb as vlb_mod
+  from mulan_tpu.train.loop import Experiment
+  config = tiny_synthetic.get_config()
+  config.model.reparam_type = 'noise'
+  exp = Experiment(config)
+
+  def loader_with(label_value):
+    def fake(config_, batch_size=None):
+      return iter([{
+          'images': np.full((8, 8, 8, 3), 128, np.uint8),
+          'labels': np.full((8,), label_value, np.int32),
+          'conditioning': np.zeros((8,), np.uint8),
+      }])
+    return fake
+
+  monkeypatch.setattr(vlb_mod.data_lib, 'create_one_time_eval_dataset',
+                      loader_with(0))
+  bpd0 = vlb_mod.eval_bpd_dense(exp, config, n_timesteps=4)
+  monkeypatch.setattr(vlb_mod.data_lib, 'create_one_time_eval_dataset',
+                      loader_with(3))
+  bpd3 = vlb_mod.eval_bpd_dense(exp, config, n_timesteps=4)
+  assert np.isfinite(bpd0) and np.isfinite(bpd3)
+  # identical rng and images: any difference comes from the labels
+  assert bpd0 != bpd3, (bpd0, bpd3)
+
+
 def test_ode_uniform_dequantization(trained_tiny):
   exp, config, _ = trained_tiny
   bpd = evals.eval_bpd_ode(exp, config, dequantization='uniform', num_is=1,

@@ -44,13 +44,28 @@ def _run_pod(workdir: str):
   outputs = []
   try:
     for proc in procs:
-      out, _ = proc.communicate(timeout=840)
+      try:
+        out, _ = proc.communicate(timeout=840)
+      except subprocess.TimeoutExpired:
+        # Kill the whole pod first, then collect the partial outputs so a
+        # hang fails WITH worker logs attached instead of a bare traceback.
+        for p in procs:
+          if p.poll() is None:
+            p.kill()
+        out, _ = proc.communicate()
+        out = (out or '') + '\n<<< pod timed out after 840s >>>'
       outputs.append(out)
   finally:
     for proc in procs:
       if proc.poll() is None:
         proc.kill()
   return procs, outputs
+
+
+def _eval_line(out: str) -> str:
+  lines = [l for l in out.splitlines() if l.startswith('DENSE_BPD ')]
+  assert len(lines) == 1, out[-4000:]
+  return lines[0]
 
 
 def test_two_process_train_eval_checkpoint(tmp_path):
@@ -64,6 +79,9 @@ def test_two_process_train_eval_checkpoint(tmp_path):
         f'MULTIPROCESS_OK process={pid}' in out
         for pid, out in enumerate(outputs))
     if ok:
+      # The dense-VLB / ODE evaluators return REPLICATED results: every
+      # process must report the identical global bpd from its local shard.
+      assert _eval_line(outputs[0]) == _eval_line(outputs[1]), outputs
       return
     transport_flake = any('Connect timeout' in out or
                           'initialization failed' in out for out in outputs)

@@ -1,4 +1,5 @@
-"""On-device Dormand-Prince solver vs closed forms and scipy RK45."""
+"""On-device Dormand-Prince / fixed-grid RK4 solvers vs closed forms and
+scipy RK45."""
 
 import jax
 import jax.numpy as jnp
@@ -6,7 +7,7 @@ import numpy as np
 import pytest
 from scipy import integrate
 
-from mulan_tpu.ops.ode import odeint_dopri5
+from mulan_tpu.ops.ode import odeint_dopri5, odeint_rk4
 
 
 def test_exponential_decay():
@@ -65,3 +66,42 @@ def test_stats_are_sane():
   sol = odeint_dopri5(lambda t, y: -y, jnp.ones(2), 0.0, 1.0)
   assert int(sol.nfe) >= 6 * int(sol.num_steps)
   assert int(sol.num_steps) >= 1
+
+
+def test_rk4_exponential_decay_and_stats():
+  sol = odeint_rk4(lambda t, y: -y, jnp.ones(4), 0.0, 1.0, num_steps=64)
+  assert bool(sol.success)
+  assert int(sol.nfe) == 4 * 64
+  np.testing.assert_allclose(np.asarray(sol.y), np.exp(-1.0), rtol=1e-6)
+
+
+def test_rk4_reverse_time():
+  sol = odeint_rk4(lambda t, y: y, jnp.full((3,), 2.0), 1.0, 0.0,
+                   num_steps=64)
+  np.testing.assert_allclose(np.asarray(sol.y), 2.0 * np.exp(-1.0),
+                             rtol=1e-6)
+
+
+def test_rk4_fourth_order_convergence():
+  """Halving the step size shrinks the global error ~16x (order 4)."""
+  def rhs(t, y):
+    return jnp.sin(3 * t) * y - 0.5 * y ** 3
+
+  y0 = jnp.asarray(np.linspace(-1, 1, 8), jnp.float32)
+  exact = np.asarray(odeint_dopri5(rhs, y0, 0.0, 1.0,
+                                   rtol=1e-8, atol=1e-10).y, np.float64)
+  errs = []
+  for n in (8, 16, 32):
+    got = np.asarray(odeint_rk4(rhs, y0, 0.0, 1.0, num_steps=n).y,
+                     np.float64)
+    errs.append(np.max(np.abs(got - exact)))
+  assert errs[0] / errs[1] > 8, errs   # fp32 noise floor softens the 16x
+  assert errs[1] / errs[2] > 4, errs
+
+
+def test_rk4_accepts_and_ignores_tolerances():
+  """rk4 shares the dopri5 call signature so the evaluator can inject
+  either solver unchanged."""
+  sol = odeint_rk4(lambda t, y: -y, jnp.ones(2), 0.0, 1.0, num_steps=32,
+                   rtol=1e-5, atol=1e-5, max_steps=5000, first_step=0.01)
+  assert bool(sol.success)

@@ -30,10 +30,22 @@ from mulan_tpu.train.loop import Experiment
 
 
 def main():
+  import argparse
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--mode', default='base',
+                      choices=['base', 'is20', 'rk4'],
+                      help='base: dense + single-IS ode rows; '
+                           'is20: serial-vs-batched IS at num_is=20 '
+                           '(VERDICT r2 item 3 target: >=4x); '
+                           'rk4: fixed-grid throughput + BPD drift vs '
+                           'dopri5.')
+  parser.add_argument('--batch_size', type=int, default=16)
+  args = parser.parse_args()
+
   config = cifar10_conditioned.get_config()
   config.data.dataset = 'synthetic'
   config.data.synthetic_examples = 512
-  config.training.batch_size_eval = 16
+  config.training.batch_size_eval = args.batch_size
   exp = Experiment(config)
   n_chips = len(jax.devices())
 
@@ -43,24 +55,66 @@ def main():
   # compile/deserialize) cancels, leaving pure per-batch throughput.
   def timed(fn, n_batches):
     t0 = time.perf_counter()
-    fn(n_batches)
-    return time.perf_counter() - t0
+    out = fn(n_batches)
+    return time.perf_counter() - t0, out
 
   def throughput(fn, small=1, large=5):
-    dt_small = timed(fn, small)
-    dt_large = timed(fn, large)
+    dt_small, _ = timed(fn, small)
+    dt_large, _ = timed(fn, large)
     imgs = (large - small) * config.training.batch_size_eval
     return imgs / max(dt_large - dt_small, 1e-9) / n_chips
 
-  dense = throughput(lambda n: evals.eval_bpd_dense(
-      exp, config, n_timesteps=128, max_batches=n))
-  print(json.dumps({'metric': 'dense_vlb_images_per_sec_per_chip',
-                    'value': round(dense, 4), 'n_timesteps': 128}))
+  if args.mode == 'base':
+    dense = throughput(lambda n: evals.eval_bpd_dense(
+        exp, config, n_timesteps=128, max_batches=n))
+    print(json.dumps({'metric': 'dense_vlb_images_per_sec_per_chip',
+                      'value': round(dense, 4), 'n_timesteps': 128}))
 
-  ode = throughput(lambda n: evals.eval_bpd_ode(
-      exp, config, num_is=1, max_batches=n, rtol=1e-5, atol=1e-5))
-  print(json.dumps({'metric': 'ode_nll_images_per_sec_per_chip',
-                    'value': round(ode, 4), 'rtol': 1e-5, 'num_is': 1}))
+    ode = throughput(lambda n: evals.eval_bpd_ode(
+        exp, config, num_is=1, max_batches=n, rtol=1e-5, atol=1e-5))
+    print(json.dumps({'metric': 'ode_nll_images_per_sec_per_chip',
+                      'value': round(ode, 4), 'rtol': 1e-5, 'num_is': 1}))
+
+  elif args.mode == 'is20':
+    # Paper settings (num_is=20): one batch, serial IS loop (the reference
+    # architecture) vs IS samples tiled into shared solves. Both pay one
+    # trace+compile constant; the batched mode's is amortized over far
+    # fewer dispatches, which is exactly the product point.
+    n_img = config.training.batch_size_eval
+    dt_b, bpd_b = timed(lambda n: evals.eval_bpd_ode(
+        exp, config, num_is=20, is_batch=0, max_batches=n,
+        rtol=1e-5, atol=1e-5), 1)
+    print(json.dumps({'metric': 'ode_is20_batched_images_per_sec_per_chip',
+                      'value': round(n_img / dt_b / n_chips, 4),
+                      'bpd': round(float(bpd_b), 4), 'num_is': 20}))
+    dt_s, bpd_s = timed(lambda n: evals.eval_bpd_ode(
+        exp, config, num_is=20, is_batch=1, max_batches=n,
+        rtol=1e-5, atol=1e-5), 1)
+    print(json.dumps({'metric': 'ode_is20_serial_images_per_sec_per_chip',
+                      'value': round(n_img / dt_s / n_chips, 4),
+                      'bpd': round(float(bpd_s), 4), 'num_is': 20,
+                      'speedup_batched': round(dt_s / dt_b, 2)}))
+
+  elif args.mode == 'rk4':
+    # Fixed-grid RK4 throughput dial + recorded BPD drift vs dopri5 at the
+    # paper tolerances on the SAME data (identical rng stream).
+    dt_ref, bpd_ref = timed(lambda n: evals.eval_bpd_ode(
+        exp, config, num_is=1, max_batches=n, rtol=1e-5, atol=1e-5), 2)
+    for steps in (32, 64, 128):
+      dt, bpd = timed(lambda n, s=steps: evals.eval_bpd_ode(
+          exp, config, num_is=1, max_batches=n, solver='rk4',
+          rk4_steps=s), 2)
+      print(json.dumps({
+          'metric': f'ode_rk4_{steps}_images_per_sec_per_chip',
+          'value': round(2 * config.training.batch_size_eval / dt / n_chips,
+                         4),
+          'bpd_drift_vs_dopri5': round(float(bpd) - float(bpd_ref), 5),
+          'nfe': 4 * steps}))
+    print(json.dumps({'metric': 'ode_dopri5_ref_images_per_sec_per_chip',
+                      'value': round(
+                          2 * config.training.batch_size_eval / dt_ref
+                          / n_chips, 4),
+                      'bpd': round(float(bpd_ref), 4)}))
 
 
 if __name__ == '__main__':

@@ -32,18 +32,28 @@ def capture(args) -> str:
   from mulan_tpu.configs import cifar10_conditioned
   from mulan_tpu.train.loop import Experiment
 
-  config = cifar10_conditioned.get_config()
+  if args.imagenet32:
+    from mulan_tpu.configs import imagenet32
+    config = imagenet32.get_config()
+    batch = 64 * len(jax.devices())  # matches bench.py --imagenet32
+  else:
+    config = cifar10_conditioned.get_config()
+    batch = 128
   config.data.dataset = 'synthetic'
   config.data.synthetic_examples = 1024
   config.training.substeps = args.substeps
-  config.training.batch_size_train = 128
-  config.training.batch_size_eval = 128
+  config.training.batch_size_train = batch
+  config.training.batch_size_eval = batch
   if args.attention:
     config.model.with_attention = True
   if args.ldm:
     config.model.unet_type = 'ldm'
   if args.stacked:
     config.optimizer.stacked = True
+  if args.gamma_high:
+    config.model.gamma_precision = 'high'
+  if args.mask_batch:
+    config.model.dropout_mask_batch = True
   if args.fsdp > 1:
     config.training.fsdp = args.fsdp
 
@@ -167,6 +177,9 @@ def main():
   parser.add_argument('--attention', action='store_true')
   parser.add_argument('--ldm', action='store_true')
   parser.add_argument('--stacked', action='store_true')
+  parser.add_argument('--imagenet32', action='store_true')
+  parser.add_argument('--gamma_high', action='store_true')
+  parser.add_argument('--mask_batch', action='store_true')
   parser.add_argument('--fsdp', type=int, default=1)
   parser.add_argument('--parse_only', default='',
                       help='skip capture; parse this logdir')

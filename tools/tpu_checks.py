@@ -92,6 +92,24 @@ def check_dropout_statistics():
   check('dropout_seeds_decorrelated', abs(agree - expected_agree) < 5e-3,
         agreement=agree, expected=expected_agree)
 
+  # Batched mask generation (config.dropout_mask_batch): per-slot keep rate
+  # and cross-slot decorrelation from ONE kernel launch.
+  from mulan_tpu.ops.dropout import hw_mask_batch
+  mb = np.asarray(
+      jax.jit(lambda s: hw_mask_batch(s, 4, (16, 32, 32, 128), rate,
+                                      jnp.bfloat16))(seed),
+      np.float32) / scale
+  slot_fracs = mb.reshape(4, -1).mean(axis=1)
+  check('dropout_batch_slot_uniformity',
+        np.all(np.abs(slot_fracs - (1 - rate)) < 3e-3),
+        worst=float(np.max(np.abs(slot_fracs - (1 - rate)))))
+  slot_agree = max(
+      float((mb[i] == mb[j]).mean())
+      for i in range(4) for j in range(i + 1, 4))
+  check('dropout_batch_slots_decorrelated',
+        slot_agree < expected_agree + 0.01, max_agreement=slot_agree,
+        expected=expected_agree)
+
 
 def check_flash_attention_parity():
   from mulan_tpu.models.layers import AttnBlock
@@ -166,6 +184,57 @@ def check_decoder_kernel_parity():
         rel_err_z=errz, rel_err_g=errg)
 
 
+def check_gamma_precision():
+  """Value+gradient error of the gamma schedule MLP at
+  gamma_precision='high' (3-pass bf16 MXU) vs 'highest' (6-pass, exact-f32)
+  — the evidence gate for flipping the config default (docs/NEXT.md item 3:
+  the fp32-gamma invariant demands storage/accumulation stay f32; 'high'
+  keeps both and only drops 3 of the 6 mantissa cross-products)."""
+  import dataclasses
+
+  from mulan_tpu.models.config import ModelConfig
+  from mulan_tpu.models.schedules import NoiseSchedulePolynomialFixedend
+
+  cfg = ModelConfig()  # flagship geometry: latent 50 -> 3072 MLP
+  rng = jax.random.PRNGKey(7)
+  emb = jax.random.normal(rng, (64, cfg.latent_size))
+  t = jax.random.uniform(jax.random.fold_in(rng, 1), (64,))
+
+  results = {}
+  for prec in ('highest', 'high'):
+    sched = NoiseSchedulePolynomialFixedend(
+        config=dataclasses.replace(cfg, gamma_precision=prec))
+    params = sched.init(jax.random.PRNGKey(0), emb, t)
+    # non-trivial coefficients (dense_out_a is zero-init)
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.PRNGKey(2),
+                                               p.shape, p.dtype), params)
+
+    def loss(p, sched=sched):
+      g0, g1, gt, dgt = sched.apply(p, emb, t, method=sched.elbo_gammas)
+      return (gt ** 2).mean() + (dgt ** 2).mean(), (gt, dgt)
+
+    (l, (gt, dgt)), grads = jax.jit(
+        jax.value_and_grad(loss, has_aux=True))(params)
+    results[prec] = (np.asarray(gt, np.float64), np.asarray(dgt, np.float64),
+                     jax.tree.map(lambda g: np.asarray(g, np.float64), grads))
+
+  gt_hi, dgt_hi, g_hi = results['highest']
+  gt_lo, dgt_lo, g_lo = results['high']
+  # gamma spans [-13.3, 5]; compare absolute error against the span
+  gt_err = float(np.max(np.abs(gt_hi - gt_lo))) / 18.3
+  dgt_err = float(np.max(np.abs(dgt_hi - dgt_lo))
+                  / (np.max(np.abs(dgt_hi)) + 1e-9))
+  grad_err = max(
+      float(np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9))
+      for a, b in zip(jax.tree.leaves(g_hi), jax.tree.leaves(g_lo)))
+  # 1e-4 relative: far inside the ELBO's estimator noise, far above bf16
+  # single-pass error (~4e-3) — catches a wrong-precision wiring instantly.
+  check('gamma_precision_high_value', gt_err < 1e-4 and dgt_err < 1e-4,
+        gamma_rel_span_err=gt_err, dgamma_rel_err=dgt_err)
+  check('gamma_precision_high_grad', grad_err < 1e-3, worst_rel_err=grad_err)
+
+
 def main():
   backend = jax.default_backend()
   if backend != 'tpu':
@@ -175,6 +244,7 @@ def main():
   check_dropout_statistics()
   check_flash_attention_parity()
   check_decoder_kernel_parity()
+  check_gamma_precision()
   ok = all(RESULTS)
   print(json.dumps({'check': 'ALL', 'ok': ok, 'n': len(RESULTS)}))
   sys.exit(0 if ok else 1)
