@@ -156,24 +156,63 @@ def _peak_flops_per_chip(device) -> 'float | None':
   return None
 
 
+def _train_flops_per_step(cfg, batch: int) -> float:
+  """Analytic matmul/conv FLOPs of one optimizer step (fwd + 2x bwd).
+
+  Counts the score-UNet convs/denses, the latent-encoder trunk, attention
+  (when on) and the gamma MLP — the >99% of the arithmetic. XLA's
+  cost_analysis() is NOT used: through this sandbox's axon backend it
+  under-reports the compiled super-step by ~40x (measured 4.2e11/step for
+  a program whose convs alone are 2e13), so MFU comes from this model-
+  derived count over the chip generation's published bf16 peak.
+  """
+  e, L = cfg.sm_n_embd, cfg.sm_n_layer
+  hw = cfg.image_size * cfg.image_size
+  c_in = cfg.image_channels * (5 if cfg.with_fourier_features else 1)
+
+  def conv3x3(cin, cout):
+    return 2.0 * batch * hw * 9 * cin * cout
+
+  def dense(cin, cout, rows=None):
+    return 2.0 * (batch * hw if rows is None else rows) * cin * cout
+
+  def attn_block():
+    # qkv + proj denses and the two T^2 einsums (flash or not, same flops)
+    return 4 * dense(e, e) + 2 * (2.0 * batch * hw * hw * e)
+
+  def res_block(cin):
+    return conv3x3(cin, e) + conv3x3(e, e) + (
+        dense(cin, e) if cin != e else 0.0)
+
+  # score UNet: L down + 2 mid + (L+1) up (concat inputs) blocks
+  unet = (conv3x3(c_in, e) + L * res_block(e) + 2 * res_block(e)
+          + (L + 1) * res_block(2 * e) + conv3x3(e, cfg.image_channels))
+  unet += attn_block()  # mid attention
+  if cfg.with_attention:
+    unet += (2 * L + 1) * attn_block()
+
+  # latent encoder trunk: conv_in + (forward_n_layer + 2) blocks + mid attn
+  enc = (conv3x3(cfg.image_channels, e)
+         + (cfg.forward_n_layer + 2) * res_block(e) + attn_block()
+         + dense(e, 1, rows=batch * hw)
+         + dense(hw, cfg.latent_size, rows=batch))
+
+  # gamma MLP (poly_fixedend geometry): latent -> P -> P -> 3 heads of P
+  p = cfg.n_pixels
+  gamma = dense(cfg.latent_size, p, rows=batch) + 4 * dense(p, p, rows=batch)
+
+  return 3.0 * (unet + enc + gamma)  # bwd ~= 2x fwd
+
+
 def _measured_mfu(exp, state, batch, superstep_secs):
-  """Achieved-FLOPs/peak from XLA's own cost analysis of the compiled
-  super-step (counts every matmul/conv the program executes; fp32 gamma
-  matmuls are charged at bf16 peak, making this slightly conservative)."""
+  del state, batch  # analytic count; see _train_flops_per_step
   import jax
-  import numpy as np
   peak = _peak_flops_per_chip(jax.devices()[0])
   if peak is None:
     return None
-  try:
-    cost = exp._p_superstep.lower(state, batch).compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):
-      cost = cost[0]
-    flops = float(cost['flops'])
-  except Exception:
-    return None
-  if not np.isfinite(flops) or flops <= 0:
-    return None
+  substeps = exp.config.training.substeps
+  flops = _train_flops_per_step(
+      exp.model_config, exp.config.training.batch_size_train) * substeps
   return (flops / superstep_secs) / (peak * len(jax.devices()))
 
 
