@@ -1,8 +1,13 @@
-"""Train/eval CLI.
+"""Train/eval/sample CLI.
 
 Parity: /root/reference/ldm/main.py —
   python -m mulan_tpu.main --mode {train,eval} --config=<config.py> \
       --workdir=<dir> [--checkpoint=<ckpt dir>] [--config.foo=...]
+
+Beyond the reference: --mode sample draws unconditional samples from a
+checkpoint (ancestral T-step or probability-flow ODE) and writes a PNG
+grid — the reference exposes sampling only through training-eval hooks and
+the notebook (notebook_utils.py:56-124, :376-443).
 
 TPU specifics: calls jax.distributed.initialize() when launched multi-process
 (the reference relies on env-based init and never calls it, experiment.py has
@@ -23,7 +28,12 @@ config_flags.DEFINE_config_file('config', None, 'Training configuration.',
                                 lock_config=False)
 flags.DEFINE_string('workdir', None, 'Work unit directory.')
 flags.DEFINE_string('checkpoint', '', 'Checkpoint to evaluate.')
-flags.DEFINE_string('mode', 'train', 'train / eval')
+flags.DEFINE_string('mode', 'train', 'train / eval / sample')
+flags.DEFINE_integer('sample_batch', 16, '--mode sample: samples to draw.')
+flags.DEFINE_integer('sample_T', 1000,
+                     '--mode sample: ancestral steps (sampler=ancestral).')
+flags.DEFINE_string('sampler', 'ancestral',
+                    '--mode sample: ancestral / ode (probability-flow).')
 flags.DEFINE_string('log_level', 'info', 'info/warning/error')
 flags.DEFINE_bool('multiprocess', False,
                   'Call jax.distributed.initialize() (multi-host TPU).')
@@ -72,6 +82,10 @@ def main(argv):
   from mulan_tpu.train.loop import Experiment
   from mulan_tpu.utils import get_workdir
 
+  if FLAGS.mode == 'sample':
+    _sample(FLAGS)
+    return
+
   experiment = Experiment(FLAGS.config)
 
   if FLAGS.mode == 'train':
@@ -82,6 +96,44 @@ def main(argv):
     experiment.evaluate(FLAGS.workdir, FLAGS.checkpoint)
   else:
     raise ValueError(f'unknown --mode: {FLAGS.mode!r}')
+
+
+def _sample(FLAGS):
+  """Draw a sample grid from a checkpoint's EMA weights."""
+  import numpy as np
+  import PIL.Image
+
+  from mulan_tpu.evals.harness import EvalExperiment
+  from mulan_tpu.utils.metrics import image_grid
+
+  if not FLAGS.checkpoint:
+    raise ValueError('--mode sample needs --checkpoint=<checkpoints dir>')
+  g = int(np.sqrt(FLAGS.sample_batch))
+  if g * g != FLAGS.sample_batch:
+    raise ValueError(f'--sample_batch must be a perfect square (grid '
+                     f'layout), got {FLAGS.sample_batch}')
+  exp = EvalExperiment(FLAGS.config, FLAGS.checkpoint)
+  logging.info('sampling from checkpoint step %d', exp.checkpoint_step)
+  if FLAGS.sampler == 'ancestral':
+    samples = exp.random_samples(batch_size=FLAGS.sample_batch,
+                                 T=FLAGS.sample_T)
+  elif FLAGS.sampler == 'ode':
+    from mulan_tpu.evals.nll_ode import make_ode_sample_fn
+    sample_fn = make_ode_sample_fn(exp.model, exp.model_config)
+    z0, nfe = sample_fn(exp.params, exp._sample_rng, FLAGS.sample_batch)
+    logging.info('ode sampler nfe: %d', int(nfe))
+    samples = np.asarray(exp.model.apply(
+        {'params': exp.params}, z0, method=exp.model.generate_x),
+        np.uint8)
+  else:
+    raise ValueError(f'unknown --sampler: {FLAGS.sampler!r}')
+  if jax.process_index() == 0:
+    os.makedirs(FLAGS.workdir, exist_ok=True)
+    path = os.path.join(
+        FLAGS.workdir,
+        f'samples_ckpt{exp.checkpoint_step}_{FLAGS.sampler}.png')
+    PIL.Image.fromarray(image_grid(samples)).save(path)
+    print(f'Wrote {len(samples)} samples: {path}')
 
 
 if __name__ == '__main__':

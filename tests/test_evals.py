@@ -240,6 +240,20 @@ def test_ode_sampler(trained_tiny, rng):
   assert int(nfe) > 0
 
 
+def test_sample_cli_mode(trained_tiny, tmp_path):
+  """--mode sample glue: checkpoint -> PNG grid, both samplers."""
+  import types
+  from mulan_tpu.main import _sample
+  _, config, workdir = trained_tiny
+  for sampler in ('ancestral', 'ode'):
+    flags = types.SimpleNamespace(
+        config=config, checkpoint=workdir + '/checkpoints',
+        workdir=str(tmp_path), sampler=sampler, sample_batch=4, sample_T=3)
+    _sample(flags)
+    out = list(tmp_path.glob(f'samples_ckpt4_{sampler}.png'))
+    assert len(out) == 1, out
+
+
 def test_eval_experiment_harness(trained_tiny):
   from mulan_tpu.data import create_one_time_eval_dataset
   from mulan_tpu.evals.harness import EvalExperiment

@@ -33,12 +33,13 @@ def main():
   import argparse
   parser = argparse.ArgumentParser()
   parser.add_argument('--mode', default='base',
-                      choices=['base', 'is20', 'rk4'],
+                      choices=['base', 'is20', 'rk4', 'sample'],
                       help='base: dense + single-IS ode rows; '
                            'is20: serial-vs-batched IS at num_is=20 '
                            '(VERDICT r2 item 3 target: >=4x); '
                            'rk4: fixed-grid throughput + BPD drift vs '
-                           'dopri5.')
+                           'dopri5; sample: T=1000 ancestral sampler '
+                           'images/sec (the serving path).')
   parser.add_argument('--batch_size', type=int, default=16)
   parser.add_argument('--solver', default='dopri5',
                       choices=['dopri5', 'rk4'],
@@ -124,6 +125,23 @@ def main():
                           2 * config.training.batch_size_eval / dt_ref
                           / n_chips, 4),
                       'bpd': round(float(bpd_ref), 4)}))
+
+  elif args.mode == 'sample':
+    # T=1000 ancestral sampling (the training-eval/serving grid path: a
+    # fori_loop of UNet forwards, exp._p_sample). The jitted fn persists on
+    # the Experiment, so calls after the first are pure device execution.
+    b = args.batch_size
+    rng = jax.random.PRNGKey(0)
+    out = exp._p_sample(exp.state.ema_params, rng, b, 1000)  # compile
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(2):
+      out = exp._p_sample(exp.state.ema_params,
+                          jax.random.fold_in(rng, i), b, 1000)
+      out.block_until_ready()
+    rate = 2 * b / (time.perf_counter() - t0) / n_chips
+    print(json.dumps({'metric': 'ancestral_T1000_images_per_sec_per_chip',
+                      'value': round(rate, 4), 'batch': b}))
 
 
 if __name__ == '__main__':
