@@ -27,6 +27,13 @@ This module converts that format into this framework's layout:
     The optimizer state is freshly initialized (the reference's optax
     tree layout follows its param layout and adam moments are cheap to
     re-accumulate); params, ema_params and step are imported.
+  * `export_params` / `export_reference_checkpoint` go the OTHER way: a
+    checkpoint trained here exports to a `ckpt-N.flax` the reference's eval
+    harness and warm-start consume directly (restore_dict ->
+    state_dict['ema_params'], notebook_utils.py:31-39):
+
+      python -m mulan_tpu.compat --mode export \
+          --checkpoint=<workdir>/checkpoints --output=/ckpts/export
 """
 
 from __future__ import annotations
@@ -91,12 +98,19 @@ def _convert_unet(ref: Dict[str, Any]) -> Dict[str, Any]:
   return out
 
 
+# Reference CNN encoder (model_mulan_epsilon.py:87-89) upper-cases its
+# module names; ours are lower-case.
+_CNN_IMPORT = {'CONV1': 'conv1', 'CONV2': 'conv2', 'DENSE': 'dense'}
+_CNN_EXPORT = {v: k for k, v in _CNN_IMPORT.items()}
+
+
 def convert_params(ref_params: Dict[str, Any]) -> Dict[str, Any]:
   """Reference param tree -> this framework's layout.
 
   Covers the module set of both released checkpoints (ScoreUNet score model,
   UnetEncoder encoder, any GAMMA_NETWORKS schedule; the epsilon and velocity
-  models share all module classes, model_mulan_velocity.py:34-46).
+  models share all module classes, model_mulan_velocity.py:34-46), plus the
+  CNN and Gaussian (`dense_layer_final_mu/sigma` heads) encoder variants.
   """
   ref = flax.core.unfreeze(ref_params)
   unknown = set(ref) - {'score_model', 'encoder_model', 'gamma'}
@@ -105,15 +119,121 @@ def convert_params(ref_params: Dict[str, Any]) -> Dict[str, Any]:
   out = {'score_model': _convert_unet(ref['score_model'])}
   if 'encoder_model' in ref:
     encoder = _convert_unet(dict(ref['encoder_model']))
-    if 'dense_layer_final' in encoder:  # UnetEncoder: trunk + logits head
-      final = encoder.pop('dense_layer_final')
-      out['encoder_model'] = {'trunk': encoder,
-                              'dense_layer_final': final}
-    else:  # CNN encoder: flat module list maps 1:1
-      out['encoder_model'] = encoder
+    heads = {k: encoder.pop(k) for k in sorted(encoder)
+             if k.startswith('dense_layer_final')}
+    if heads:  # UnetEncoder[Gaussian]: trunk + logits/mu/sigma head(s)
+      out['encoder_model'] = {'trunk': encoder, **heads}
+    else:  # CNN encoder: flat module list, names case-mapped
+      out['encoder_model'] = {_CNN_IMPORT.get(k, k): v
+                              for k, v in encoder.items()}
   if 'gamma' in ref:
     out['gamma'] = ref['gamma']
   return out
+
+
+# --------------------------------------------------------------------------
+# Export (this framework's layout -> reference layout)
+# --------------------------------------------------------------------------
+
+# Only the reference's down./mid./up. UNet module names contain dots
+# (model_vdm.py:354-371); the import rename `.` -> `_` is invertible
+# through this pattern.
+_DOTTED_RE = re.compile(r'^(down|mid|up)_((?:block|attn)_\d+)$')
+
+
+def _export_attn(attn: Dict[str, Any]) -> Dict[str, Any]:
+  """Inverse of `_convert_attn`: (c, 1, c) DenseGeneral projections back to
+  the reference's flat (c, c) Dense kernels."""
+  c = np.shape(attn['q']['kernel'])[0]
+  out = {'GroupNorm_0': attn['GroupNormF32_0']['GroupNorm_0']}
+  for name in ('q', 'k', 'v'):
+    out[name] = {'kernel': np.asarray(attn[name]['kernel']).reshape(c, c),
+                 'bias': np.asarray(attn[name]['bias']).reshape(c)}
+  out['proj_out'] = {
+      'kernel': np.asarray(attn['proj_out']['kernel']).reshape(c, c),
+      'bias': np.asarray(attn['proj_out']['bias'])}
+  return out
+
+
+def _export_block(block: Dict[str, Any]) -> Dict[str, Any]:
+  out = {}
+  for name, sub in block.items():
+    if name == 'GroupNormF32_0':
+      out['GroupNorm_0'] = sub['GroupNorm_0']
+    elif name == 'GroupNormF32_1':
+      out['GroupNorm_1'] = sub['GroupNorm_0']
+    else:
+      out[name] = sub
+  return out
+
+
+def _export_unet(tree: Dict[str, Any]) -> Dict[str, Any]:
+  out = {}
+  for name, sub in tree.items():
+    m = _DOTTED_RE.match(name)
+    new = f'{m.group(1)}.{m.group(2)}' if m else name
+    if 'attn' in name:
+      out[new] = _export_attn(sub)
+    elif 'block' in name:
+      out[new] = _export_block(sub)
+    elif name == 'GroupNormF32_0':
+      out['GroupNorm_0'] = sub['GroupNorm_0']
+    else:
+      out[new] = sub
+  return out
+
+
+def export_params(params: Dict[str, Any]) -> Dict[str, Any]:
+  """This framework's param tree -> the reference layout. Exact inverse of
+  `convert_params` (roundtrip-tested leaf-identical both ways)."""
+  tree = flax.serialization.to_state_dict(flax.core.unfreeze(params))
+  unknown = set(tree) - {'score_model', 'encoder_model', 'gamma'}
+  if unknown:
+    raise ValueError(f'unexpected top-level param keys: {sorted(unknown)}')
+  out = {'score_model': _export_unet(tree['score_model'])}
+  if 'encoder_model' in tree:
+    encoder = dict(tree['encoder_model'])
+    if 'trunk' in encoder:  # UnetEncoder[Gaussian]: re-flatten trunk + heads
+      flat = _export_unet(encoder.pop('trunk'))
+      flat.update(encoder)
+      out['encoder_model'] = flat
+    else:  # CNN encoder
+      out['encoder_model'] = {_CNN_EXPORT.get(k, k): v
+                              for k, v in encoder.items()}
+  if 'gamma' in tree:
+    out['gamma'] = tree['gamma']
+  return out
+
+
+def export_reference_checkpoint(checkpoint_dir: str, output_dir: str,
+                                step: Optional[int] = None) -> str:
+  """Export an orbax checkpoint saved by this framework into the reference's
+  on-disk format: `ckpt-N.flax` = msgpack of {step, params, ema_params}.
+
+  The reference's eval harness reads exactly this file
+  (`clu.checkpoint.Checkpoint.restore_dict` -> `state_dict['ema_params']`,
+  notebook_utils.py:31-39), and its partial warm-start merges only present
+  keys (experiment.py:377-392), so the missing `opt_state` is fine for eval
+  and warm-start; full train auto-resume over there would re-init Adam
+  moments. Returns the written path.
+  """
+  from mulan_tpu.train import checkpoint as ckpt_lib
+
+  mngr = ckpt_lib.CheckpointManager(checkpoint_dir)
+  if step is None:
+    step = mngr.latest_step()
+  if step is None:
+    raise FileNotFoundError(f'no checkpoints under {checkpoint_dir}')
+  restored = mngr.restore_dict(step)
+  state = {'step': np.int64(restored.get('step', step)),
+           'params': export_params(restored['params']),
+           'ema_params': export_params(restored['ema_params'])}
+  os.makedirs(output_dir, exist_ok=True)
+  path = os.path.join(output_dir, f'ckpt-{step}.flax')
+  with open(path, 'wb') as f:
+    f.write(flax.serialization.to_bytes(state))
+  logging.info('exported step %d to reference format: %s', step, path)
+  return path
 
 
 def assert_tree_compatible(converted: Dict[str, Any], fresh: Dict[str, Any]):
@@ -253,18 +373,35 @@ def main(argv):
   del argv
   from absl import flags
   FLAGS = flags.FLAGS
-  import_reference_checkpoint(FLAGS.config, FLAGS.reference_checkpoint,
-                              FLAGS.workdir)
+  if FLAGS.mode == 'import':
+    if not (FLAGS.config and FLAGS.reference_checkpoint and FLAGS.workdir):
+      raise ValueError('--mode import needs --config, '
+                       '--reference_checkpoint and --workdir')
+    import_reference_checkpoint(FLAGS.config, FLAGS.reference_checkpoint,
+                                FLAGS.workdir)
+  elif FLAGS.mode == 'export':
+    if not (FLAGS.checkpoint and FLAGS.output):
+      raise ValueError('--mode export needs --checkpoint and --output')
+    path = export_reference_checkpoint(FLAGS.checkpoint, FLAGS.output)
+    print(f'Wrote {path}')
+  else:
+    raise ValueError(f'unknown --mode: {FLAGS.mode!r}')
 
 
 if __name__ == '__main__':
   from absl import app, flags
   from ml_collections import config_flags
-  config_flags.DEFINE_config_file('config', None, 'Model configuration.',
-                                  lock_config=False)
+  config_flags.DEFINE_config_file('config', None, 'Model configuration '
+                                  '(--mode import).', lock_config=False)
+  flags.DEFINE_string('mode', 'import', 'import: reference ckpt-N -> orbax; '
+                      'export: orbax -> reference ckpt-N.flax.')
   flags.DEFINE_string('reference_checkpoint', None,
                       'Path to a reference ckpt-N[.flax] file or its '
                       'directory (latest wins).')
-  flags.DEFINE_string('workdir', None, 'Output work directory.')
-  flags.mark_flags_as_required(['config', 'reference_checkpoint', 'workdir'])
+  flags.DEFINE_string('workdir', None,
+                      'Output work directory (--mode import).')
+  flags.DEFINE_string('checkpoint', None,
+                      'Orbax checkpoints dir to export (--mode export).')
+  flags.DEFINE_string('output', None,
+                      'Output dir for ckpt-N.flax (--mode export).')
   app.run(main)
