@@ -212,9 +212,6 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
     params = experiment.state.ema_params
   mesh = experiment.mesh
   n_dev = mesh.devices.size
-  pc = jax.process_count()
-  assert n_dev % pc == 0, (n_dev, pc)
-  local_n = n_dev // pc
 
   odeint = odeint_dopri5
   if solver == 'rk4':
@@ -251,21 +248,19 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
     for bi, batch in enumerate(loader):
       if max_batches is not None and bi >= max_batches:
         break
-      n_valid = len(batch['images'])
-      pad = -n_valid % local_n  # pad the HOST-local batch to local devices
-      images = batch['images']
-      if pad:
-        images = np.concatenate([images, images[:pad]], axis=0)
-      put = mesh_lib.shard_batch(mesh, {
-          'images': images,
-          'mask': np.arange(n_valid + pad) < n_valid})
+      put = mesh_lib.shard_host_padded(mesh, {'images': batch['images']})
       b_global = put['images'].shape[0]
       if is_batch <= 0:  # auto: ~128 state rows per chip and per solve
-        group = max(1, min(num_is, (128 * n_dev) // max(b_global, 1)))
+        cap = max(1, min(num_is, (128 * n_dev) // max(b_global, 1)))
+        # n_rep is a static jit arg: one program shape per distinct group
+        # size, and a cold flagship compile costs many minutes through this
+        # sandbox's tunnel — so round the auto size DOWN to a divisor of
+        # num_is rather than paying a second compile for a remainder group.
+        group = max(g for g in range(1, cap + 1) if num_is % g == 0)
       else:
         group = min(is_batch, num_is)
       groups = [group] * (num_is // group)
-      if num_is % group:
+      if num_is % group:  # explicit is_batch may leave a remainder group
         groups.append(num_is % group)
 
       log_ps, log_qs, auxs = [], [], []
@@ -308,9 +303,13 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
                   + offset)
       bpds.append(bpd)
       total_nfe += batch_nfe
-      logging.info('ode eval batch %d: cum bpd %.4f (nfe %d, nfe per '
-                   'image-sample %.1f)', bi, np.mean(bpds), batch_nfe,
-                   batch_nfe / (num_is * max(int(mask.sum()), 1)))
+      # NOTE: every image-sample row still experiences each RHS evaluation
+      # of its (shared-step-control) solve — IS batching cuts dispatches
+      # and feeds the MXU, not per-row NFE. Report per-solve NFE.
+      logging.info('ode eval batch %d: cum bpd %.4f (nfe %d over %d '
+                   'grouped solves = %.0f nfe/solve; %d images x %d IS)',
+                   bi, np.mean(bpds), batch_nfe, len(groups),
+                   batch_nfe / len(groups), int(mask.sum()), num_is)
     if not bpds:
       raise RuntimeError('every ODE batch failed to converge; raise '
                          'max_steps or loosen rtol/atol.')

@@ -96,8 +96,6 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
     batch_size = config.training.batch_size_eval
   n_dev = experiment.mesh.devices.size
   pc = jax.process_count()
-  assert n_dev % pc == 0, (n_dev, pc)
-  local_n = n_dev // pc
   if images_per_chunk is None:
     # how many (image, t) pairs one compiled call processes, per host
     images_per_chunk = max(1, (n_dev * 128) // n_timesteps // pc)
@@ -158,14 +156,8 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
                'labels': np.asarray(batch['labels'][sl], np.int32),
                'conditioning': np.asarray(batch['conditioning'][sl],
                                           np.uint8)}
-      n_valid = len(chunk['images'])
-      pad = -n_valid % local_n  # pad the HOST-local chunk to local devices
-      if pad:
-        chunk = {k: np.concatenate([v, v[:pad]], axis=0)
-                 for k, v in chunk.items()}
-      chunk['mask'] = np.arange(n_valid + pad) < n_valid
       rng, step_rng = jax.random.split(rng)
-      chunk = mesh_lib.shard_batch(experiment.mesh, chunk)
+      chunk = mesh_lib.shard_host_padded(experiment.mesh, chunk)
       per_image, mask = chunk_bpd(
           params, chunk['images'], chunk['conditioning'], chunk['labels'],
           chunk['mask'], step_rng)

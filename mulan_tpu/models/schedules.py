@@ -93,13 +93,18 @@ class NoiseScheduleNNet(ScalarSchedule):
 
   def setup(self):
     c = self.config
+    # Same fp32-gamma guarantee as the MuLAN schedules: pin the MXU pass
+    # count regardless of compute_dtype (config.gamma_precision).
+    prec = c.gamma_matmul_precision
     self.l1 = DenseMonotone(1, kernel_init=constant_init(c.gamma_max -
                                                          c.gamma_min),
-                            bias_init=constant_init(c.gamma_min))
+                            bias_init=constant_init(c.gamma_min),
+                            precision=prec)
     self.l2 = DenseMonotone(self.n_features,
-                            kernel_init=nn.initializers.normal())
+                            kernel_init=nn.initializers.normal(),
+                            precision=prec)
     self.l3 = DenseMonotone(1, kernel_init=nn.initializers.normal(),
-                            use_bias=False)
+                            use_bias=False, precision=prec)
 
   def __call__(self, t):
     t = t.reshape(-1, 1)

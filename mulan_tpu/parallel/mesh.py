@@ -141,6 +141,27 @@ def shard_batch(mesh: Mesh, batch, batch_axis: int = 0):
   return jax.tree.map(_put, batch)
 
 
+def shard_host_padded(mesh: Mesh, batch: dict, n_valid: Optional[int] = None):
+  """Pad a per-host batch dict to the local device count, attach a validity
+  'mask', and place it on the mesh.
+
+  The multi-host eval protocol shared by the dense-VLB and ODE evaluators:
+  every process pads its local arrays (repeating leading rows) to a multiple
+  of its local device count, a boolean 'mask' marks the real rows, and the
+  mask rides THROUGH the jit (replicated outputs) so hosts de-pad in the
+  same global order without depending on device placement.
+  """
+  if n_valid is None:
+    n_valid = len(next(iter(batch.values())))
+  local_n = mesh.devices.size // jax.process_count()
+  pad = -n_valid % local_n
+  if pad:
+    batch = {k: np.concatenate([v, v[:pad]], axis=0)
+             for k, v in batch.items()}
+  batch = dict(batch, mask=np.arange(n_valid + pad) < n_valid)
+  return shard_batch(mesh, batch)
+
+
 def local_batch_size(global_batch: int,
                      process_count: Optional[int] = None) -> int:
   pc = process_count if process_count is not None else jax.process_count()
