@@ -191,9 +191,11 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
   fixes it; on device the noise is ALWAYS fixed within a solve (an adaptive
   controller reads a stochastic RHS as stiffness) and fresh per IS sample.
 
-  Every solve's `success` flag is checked: an unconverged (max_steps-hit)
-  solve either raises (default) or, with on_solver_failure='warn', logs an
-  error and EXCLUDES that batch from the mean — and the final mean reports
+  Every solve's `success` flag is checked (after the full pass is
+  dispatched — solves queue back-to-back on the device, see phase 1/2
+  below): an unconverged (max_steps-hit) solve either raises (default) or,
+  with on_solver_failure='warn', logs an error and EXCLUDES that batch
+  from the mean — and the final mean reports
   how many batches were excluded, raising if more than 5% were (a silently
   biased-toward-easy-examples BPD must not look like a clean run).
 
@@ -242,9 +244,14 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
   for it in range(num_iters):
     rng, iter_rng = jax.random.split(rng)
     loader = data_lib.create_one_time_eval_dataset(config, batch_size)
-    bpds = []
-    total_nfe = 0
-    n_excluded = 0
+
+    # Phase 1 — dispatch: queue every (batch, IS-group) solve without
+    # touching the results. Reading stats/log_p between dispatches would
+    # sync the host into each solve's round-trip; deferring lets JAX queue
+    # solves back-to-back on the device (outputs are (num_is, B) scalars —
+    # negligible to hold). Consequence: with on_solver_failure='raise' the
+    # failure surfaces after the full eval pass is queued, not mid-pass.
+    dispatched = []  # (bi, groups, [(log_p, log_q, aux, stats, mask), ...])
     for bi, batch in enumerate(loader):
       if max_batches is not None and bi >= max_batches:
         break
@@ -254,23 +261,35 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
         cap = max(1, min(num_is, (128 * n_dev) // max(b_global, 1)))
         # n_rep is a static jit arg: one program shape per distinct group
         # size, and a cold flagship compile costs many minutes through this
-        # sandbox's tunnel — so round the auto size DOWN to a divisor of
-        # num_is rather than paying a second compile for a remainder group.
-        group = max(g for g in range(1, cap + 1) if num_is % g == 0)
+        # sandbox's tunnel — so snap the auto size to the NEAREST divisor of
+        # num_is (one compile, no remainder group), rounding up at most 1.5x
+        # past the target to bound the vjp activation memory per solve.
+        divisors = [g for g in range(1, num_is + 1)
+                    if num_is % g == 0 and g <= cap + cap // 2]
+        group = min(divisors, key=lambda g: (abs(g - cap), -g))
       else:
         group = min(is_batch, num_is)
       groups = [group] * (num_is // group)
       if num_is % group:  # explicit is_batch may leave a remainder group
         groups.append(num_is % group)
 
+      outs = []
+      for n_rep in groups:
+        iter_rng, is_rng = jax.random.split(iter_rng)
+        outs.append(likelihood_group(
+            params, is_rng, put['images'], put['mask'], n_rep))
+      dispatched.append((bi, groups, outs))
+
+    # Phase 2 — materialize and aggregate.
+    bpds = []
+    total_nfe = 0
+    n_excluded = 0
+    for bi, groups, outs in dispatched:
       log_ps, log_qs, auxs = [], [], []
       batch_nfe = 0
       batch_ok = True
       mask = None
-      for n_rep in groups:
-        iter_rng, is_rng = jax.random.split(iter_rng)
-        log_p, log_q, aux, stats, mask = likelihood_group(
-            params, is_rng, put['images'], put['mask'], n_rep)
+      for log_p, log_q, aux, stats, mask in outs:
         if not bool(stats['success']):
           msg = (f'ODE solve hit max_steps={max_steps} without converging '
                  f'(batch {bi}, nfe={int(stats["nfe"])}, '

@@ -53,18 +53,19 @@ def eval_bpd_sparse(experiment, config, params=None,
         rngs={'sample': rng}, deterministic=True)
     return jnp.mean(_bpd_terms(outputs, cfg.n_pixels))
 
+  # Collect DEVICE scalars and materialize once at the end: converting per
+  # batch would sync the host into every dispatch, serializing the loop on
+  # dispatch latency instead of device throughput.
   bpds = []
   for i, batch in enumerate(loader):
     if max_batches is not None and i >= max_batches:
       break
     rng, step_rng = jax.random.split(rng)
-    bpds.append(float(batch_bpd(
-        params, experiment._put_batch(batch), step_rng)))
+    bpds.append(batch_bpd(params, experiment._put_batch(batch), step_rng))
     if (i + 1) % 100 == 0:
-      logging.info('sparse eval step %d cum_avg_bpd %.4f', i + 1,
-                   np.mean(bpds))
+      logging.info('sparse eval: %d batches dispatched', i + 1)
   logging.info('sparse eval: %d batches', len(bpds))
-  return float(np.mean(bpds))
+  return float(np.mean([np.asarray(b) for b in bpds]))
 
 
 def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
@@ -97,8 +98,12 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
   n_dev = experiment.mesh.devices.size
   pc = jax.process_count()
   if images_per_chunk is None:
-    # how many (image, t) pairs one compiled call processes, per host
-    images_per_chunk = max(1, (n_dev * 128) // n_timesteps // pc)
+    # (image, t) pairs one compiled call processes, per host: 512 rows/chip.
+    # The ELBO here is forward-only (no grad residuals), so the live set is
+    # the UNet skip stack — (n_layer+1) bf16 activations, ~4.4 GB at 512
+    # rows for the flagship — and larger dispatches amortize the per-call
+    # host->device latency that dominates at the train-step's 128 rows.
+    images_per_chunk = max(1, (n_dev * 512) // n_timesteps // pc)
 
   loader = data_lib.create_one_time_eval_dataset(config, batch_size)
   rng = jax.random.PRNGKey(0)
@@ -141,8 +146,11 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
     bpd = _bpd_terms(outputs, cfg.n_pixels).reshape(b, n_timesteps)
     return jnp.mean(bpd, axis=1), mask
 
-  bpds = []
-  n_images = 0
+  # Device results are collected and materialized ONCE after the loop:
+  # syncing per chunk would serialize the host on each dispatch's round-trip
+  # latency; deferring lets JAX queue chunks back-to-back on the device.
+  results = []
+  n_dispatched = 0
   for bi, batch in enumerate(loader):
     if max_batches is not None and bi >= max_batches:
       break
@@ -156,16 +164,16 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
                'labels': np.asarray(batch['labels'][sl], np.int32),
                'conditioning': np.asarray(batch['conditioning'][sl],
                                           np.uint8)}
+      n_dispatched += len(chunk['images'])
       rng, step_rng = jax.random.split(rng)
       chunk = mesh_lib.shard_host_padded(experiment.mesh, chunk)
-      per_image, mask = chunk_bpd(
+      results.append(chunk_bpd(
           params, chunk['images'], chunk['conditioning'], chunk['labels'],
-          chunk['mask'], step_rng)
-      mask = np.asarray(mask, bool)
-      bpds.extend(np.asarray(per_image)[mask].tolist())
-      n_images += int(mask.sum())
-    if n_images % 512 < images_per_chunk:
-      logging.info('dense eval: %d images, cum_avg_bpd %.4f', n_images,
-                   np.mean(bpds))
-  logging.info('dense eval: %d images total', n_images)
+          chunk['mask'], step_rng))
+    if (bi + 1) % 8 == 0:
+      logging.info('dense eval: %d images dispatched', n_dispatched)
+  bpds = np.concatenate([np.asarray(p)[np.asarray(m, bool)]
+                         for p, m in results])
+  logging.info('dense eval: %d images total, bpd %.4f', len(bpds),
+               np.mean(bpds))
   return float(np.mean(bpds))

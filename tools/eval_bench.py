@@ -49,7 +49,10 @@ def main():
 
   config = cifar10_conditioned.get_config()
   config.data.dataset = 'synthetic'
-  config.data.synthetic_examples = 512
+  # The eval split is synthetic_examples // 4; keep it larger than any
+  # max_batches window below or the difference method silently measures
+  # fewer batches than requested (= pure dispatch jitter).
+  config.data.synthetic_examples = 4096
   config.training.batch_size_eval = args.batch_size
   exp = Experiment(config)
   n_chips = len(jax.devices())
@@ -64,21 +67,38 @@ def main():
     return time.perf_counter() - t0, out
 
   def throughput(fn, small=1, large=5):
+    timed(fn, small)  # warm-up: pays the real XLA compile (persistent cache)
     dt_small, _ = timed(fn, small)
     dt_large, _ = timed(fn, large)
     imgs = (large - small) * config.training.batch_size_eval
+    print(json.dumps({'metric': 'throughput_raw_dts',
+                      'dt_small': round(dt_small, 2),
+                      'dt_large': round(dt_large, 2),
+                      'small': small, 'large': large}))
     return imgs / max(dt_large - dt_small, 1e-9) / n_chips
 
   if args.mode == 'base':
+    # Wide window: after the round-3 dispatch-pipelining fix the per-image
+    # cost is small next to the tunnel's per-call constants (which the
+    # difference cancels only down to their multi-second jitter).
     dense = throughput(lambda n: evals.eval_bpd_dense(
-        exp, config, n_timesteps=128, max_batches=n))
+        exp, config, n_timesteps=128, max_batches=n), small=2, large=30)
     print(json.dumps({'metric': 'dense_vlb_images_per_sec_per_chip',
                       'value': round(dense, 4), 'n_timesteps': 128}))
 
-    ode = throughput(lambda n: evals.eval_bpd_ode(
-        exp, config, num_is=1, max_batches=n, rtol=1e-5, atol=1e-5))
+    # dopri5 cost varies per data batch (adaptive NFE) and the tunnel's
+    # 50-250s per-call constants swamp difference measurements at this cost
+    # (two documented failed attempts; see PERF.md) — report one warm large
+    # call INCLUDING constants, like the round-3 PERF rows.
+    def ode_run(n):
+      return evals.eval_bpd_ode(exp, config, num_is=1, max_batches=n,
+                                rtol=1e-5, atol=1e-5)
+    timed(ode_run, 1)  # warm-up
+    dt, _ = timed(ode_run, 5)
+    ode = 5 * config.training.batch_size_eval / dt / n_chips
     print(json.dumps({'metric': 'ode_nll_images_per_sec_per_chip',
-                      'value': round(ode, 4), 'rtol': 1e-5, 'num_is': 1}))
+                      'value': round(ode, 4), 'rtol': 1e-5, 'num_is': 1,
+                      'note': 'incl per-call constants'}))
 
   elif args.mode == 'is20':
     # Paper settings (num_is=20): serial IS loop (the reference
@@ -95,8 +115,13 @@ def main():
                                   rk4_steps=args.rk4_steps)
       _, bpd = timed(run, 1)  # warm-up: pays the real XLA compile
       dt1, _ = timed(run, 1)  # constant = trace + cache deserialize only
-      dt2, _ = timed(run, 2)
-      rate = n_img / max(dt2 - dt1, 1e-9) / n_chips
+      dt2, _ = timed(run, 6)
+      print(json.dumps({'metric': f'is20_{label}_raw_dts',
+                        'dt1': round(dt1, 2), 'dt6': round(dt2, 2)}))
+      # 5-batch marginal window: the tunnel's per-call constant jitter is
+      # tens of seconds, so a 1-batch marginal is unmeasurable once the
+      # eval is dispatch-pipelined.
+      rate = 5 * n_img / max(dt2 - dt1, 1e-9) / n_chips
       rows[label] = rate
       print(json.dumps({
           'metric': f'ode_is20_{label}_images_per_sec_per_chip',
