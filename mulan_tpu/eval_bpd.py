@@ -58,6 +58,10 @@ flags.DEFINE_integer('is_batch', 0,
                      'Importance samples batched into ONE ODE solve '
                      '(tiled along the sharded batch axis). 0 = auto '
                      '(~128 rows/chip); 1 = the reference serial IS loop.')
+flags.DEFINE_integer('images_per_chunk', 0,
+                     '--bpd_eval_method=dense: per-host images per compiled '
+                     'call. 0 = auto (512 (image,t) rows per chip); lower it '
+                     'if the forward-only chunk outgrows HBM on small chips.')
 flags.DEFINE_bool('multiprocess', False,
                   'Call jax.distributed.initialize() (multi-host TPU).')
 flags.mark_flags_as_required(['config', 'checkpoint_directory'])
@@ -87,7 +91,9 @@ def main(argv):
     bpd = evals.eval_bpd_sparse(experiment, FLAGS.config)
   elif FLAGS.bpd_eval_method == 'dense':
     bpd = evals.eval_bpd_dense(experiment, FLAGS.config,
-                               n_timesteps=FLAGS.n_timesteps)
+                               n_timesteps=FLAGS.n_timesteps,
+                               images_per_chunk=FLAGS.images_per_chunk or
+                               None)
   elif FLAGS.bpd_eval_method == 'ode':
     bpd = evals.eval_bpd_ode(
         experiment, FLAGS.config,

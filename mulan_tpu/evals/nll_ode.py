@@ -156,6 +156,21 @@ def make_ode_likelihood_fn(model, model_config, *,
   return likelihood
 
 
+def auto_is_group(num_is: int, cap: int) -> int:
+  """IS-group size for one ODE solve: the divisor of `num_is` nearest to
+  `cap` (the rows/chip target), rounding up at most 1.5x past it.
+
+  n_rep is a static jit arg, so any non-divisor group size adds a
+  remainder group = a SECOND multi-minute XLA compile of the full
+  UNet-ODE program for zero statistical benefit; the 1.5x bound keeps the
+  vjp activation memory per solve in check. Prime num_is (no divisor near
+  cap) degrades to serial solves rather than a second compile.
+  """
+  divisors = [g for g in range(1, num_is + 1)
+              if num_is % g == 0 and g <= cap + cap // 2]
+  return min(divisors, key=lambda g: (abs(g - cap), -g))
+
+
 def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
                  dequantization: str = 'tn', num_is: int = 1,
                  num_iters: int = 1, rtol: float = 1e-5, atol: float = 1e-5,
@@ -258,15 +273,8 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
       put = mesh_lib.shard_host_padded(mesh, {'images': batch['images']})
       b_global = put['images'].shape[0]
       if is_batch <= 0:  # auto: ~128 state rows per chip and per solve
-        cap = max(1, min(num_is, (128 * n_dev) // max(b_global, 1)))
-        # n_rep is a static jit arg: one program shape per distinct group
-        # size, and a cold flagship compile costs many minutes through this
-        # sandbox's tunnel — so snap the auto size to the NEAREST divisor of
-        # num_is (one compile, no remainder group), rounding up at most 1.5x
-        # past the target to bound the vjp activation memory per solve.
-        divisors = [g for g in range(1, num_is + 1)
-                    if num_is % g == 0 and g <= cap + cap // 2]
-        group = min(divisors, key=lambda g: (abs(g - cap), -g))
+        group = auto_is_group(
+            num_is, max(1, min(num_is, (128 * n_dev) // max(b_global, 1))))
       else:
         group = min(is_batch, num_is)
       groups = [group] * (num_is // group)

@@ -269,3 +269,19 @@ def test_eval_experiment_harness(trained_tiny):
   cond = exp.conditional_samples(emb, batch_size=4, T=5)
   assert cond.shape == (4, 8, 8, 3)
   assert cond.dtype == np.uint8
+
+
+def test_auto_is_group_snaps_to_divisor():
+  """One static n_rep per eval: nearest divisor of num_is to the rows/chip
+  cap, rounded up at most 1.5x (memory bound), serial for prime num_is."""
+  from mulan_tpu.evals.nll_ode import auto_is_group
+  assert auto_is_group(20, 8) == 10    # paper settings: 2 solves, 1 compile
+  assert auto_is_group(20, 3) == 4
+  assert auto_is_group(20, 20) == 20
+  assert auto_is_group(20, 1) == 1
+  assert auto_is_group(1, 8) == 1
+  assert auto_is_group(19, 8) == 1     # prime: serial beats a 2nd compile
+  for num_is in (1, 2, 5, 12, 20, 100):
+    for cap in (1, 3, 8, 64):
+      g = auto_is_group(num_is, cap)
+      assert num_is % g == 0 and 1 <= g <= max(1, cap + cap // 2)
