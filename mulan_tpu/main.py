@@ -6,8 +6,10 @@ Parity: /root/reference/ldm/main.py —
 
 Beyond the reference: --mode sample draws unconditional samples from a
 checkpoint (ancestral T-step or probability-flow ODE) and writes a PNG
-grid — the reference exposes sampling only through training-eval hooks and
-the notebook (notebook_utils.py:56-124, :376-443).
+grid, and --mode analyze writes the notebook-analysis artifacts (latent
+clusters, schedule curves/heatmaps/histograms, PCA scatter) as PNGs — the
+reference exposes both only through training-eval hooks and the notebook
+(notebook_utils.py:56-124, :376-443, :534-753).
 
 TPU specifics: calls jax.distributed.initialize() when launched multi-process
 (the reference relies on env-based init and never calls it, experiment.py has
@@ -28,7 +30,12 @@ config_flags.DEFINE_config_file('config', None, 'Training configuration.',
                                 lock_config=False)
 flags.DEFINE_string('workdir', None, 'Work unit directory.')
 flags.DEFINE_string('checkpoint', '', 'Checkpoint to evaluate.')
-flags.DEFINE_string('mode', 'train', 'train / eval / sample')
+flags.DEFINE_string('mode', 'train', 'train / eval / sample / analyze')
+flags.DEFINE_integer('analyze_batches', 8,
+                     '--mode analyze: eval batches probed for logits.')
+flags.DEFINE_float('analyze_min_cosine', 0.9,
+                   '--mode analyze: latent-cluster cosine threshold '
+                   '(k=15 latents: 0.9 requires ~14 of 15 shared).')
 flags.DEFINE_integer('sample_batch', 16, '--mode sample: samples to draw.')
 flags.DEFINE_integer('sample_T', 1000,
                      '--mode sample: ancestral steps (sampler=ancestral).')
@@ -85,6 +92,9 @@ def main(argv):
   if FLAGS.mode == 'sample':
     _sample(FLAGS)
     return
+  if FLAGS.mode == 'analyze':
+    _analyze(FLAGS)
+    return
 
   experiment = Experiment(FLAGS.config)
 
@@ -134,6 +144,69 @@ def _sample(FLAGS):
         f'samples_ckpt{exp.checkpoint_step}_{FLAGS.sampler}.png')
     PIL.Image.fromarray(image_grid(samples)).save(path)
     print(f'Wrote {len(samples)} samples: {path}')
+
+
+def _analyze(FLAGS):
+  """Write the reference-notebook analysis artifacts as PNGs from a
+  checkpoint: latent-cluster image gallery, per-cluster noise-schedule
+  curves, per-pixel gamma heatmap/histograms, and a PCA embedding scatter
+  (the reference exposes these only interactively,
+  notebook_utils.py:534-753; mulan_tpu/analysis.py holds the primitives)."""
+  import matplotlib
+  matplotlib.use('Agg')
+  import numpy as np
+
+  from mulan_tpu import analysis
+  from mulan_tpu.evals.harness import EvalExperiment
+  from mulan_tpu.models import latents
+
+  if not FLAGS.checkpoint:
+    raise ValueError('--mode analyze needs --checkpoint=<checkpoints dir>')
+  exp = EvalExperiment(FLAGS.config, FLAGS.checkpoint)
+  cfg = exp.model_config
+  if not hasattr(exp.model, 'gamma_of'):
+    raise ValueError('--mode analyze probes the learned per-pixel schedule; '
+                     f'vdm_type={FLAGS.config.vdm_type!r} has a scalar '
+                     'schedule (use TensorBoard scalars instead).')
+  logging.info('analyzing checkpoint step %d', exp.checkpoint_step)
+
+  logits, images = analysis.get_logits(exp, num_batches=FLAGS.analyze_batches)
+  embeddings = latents.logits_to_embeddings(logits, cfg.latent_k)
+  emb_np, images = np.asarray(embeddings), np.asarray(images)
+  clusters = analysis.cluster_embeddings(
+      emb_np, min_cosine=FLAGS.analyze_min_cosine)
+  logging.info('%d images -> %d latent clusters (min_cosine=%.2f)',
+               len(emb_np), clusters.n_clusters, FLAGS.analyze_min_cosine)
+
+  # Schedule curves for up to 6 distinct latents (cluster leaders when the
+  # clustering found structure, else the first few examples).
+  if clusters.n_clusters:
+    probe_idx = np.asarray(clusters.leaders[:6])
+    labels = [f'cluster {i}' for i in range(len(probe_idx))]
+  else:
+    probe_idx = np.arange(min(4, len(emb_np)))
+    labels = [f'example {i}' for i in probe_idx]
+  grids = [np.asarray(g) for g in analysis.noise_schedule_per_embedding(
+      exp, embeddings[probe_idx])]
+
+  figs = {
+      'cluster_gallery': analysis.cluster_gallery(images, clusters),
+      'schedule_curves': analysis.schedule_curves(grids, labels=labels),
+      'schedule_heatmap': analysis.schedule_heatmap(grids[0],
+                                                    cfg.image_shape),
+      'schedule_histograms': analysis.schedule_histograms(grids[0]),
+      'embedding_pca': analysis.embedding_scatter(
+          analysis.pca_transformation(emb_np, 2),
+          colors=np.where(clusters.assignment >= 0, clusters.assignment, 0)
+          if clusters.n_clusters else None),
+  }
+  if jax.process_index() == 0:
+    os.makedirs(FLAGS.workdir, exist_ok=True)
+    for name, fig in figs.items():
+      path = os.path.join(
+          FLAGS.workdir, f'{name}_ckpt{exp.checkpoint_step}.png')
+      fig.savefig(path, dpi=150, bbox_inches='tight')
+      print(f'Wrote {path}')
 
 
 if __name__ == '__main__':

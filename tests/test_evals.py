@@ -285,3 +285,18 @@ def test_auto_is_group_snaps_to_divisor():
     for cap in (1, 3, 8, 64):
       g = auto_is_group(num_is, cap)
       assert num_is % g == 0 and 1 <= g <= max(1, cap + cap // 2)
+
+
+def test_analyze_cli_mode(trained_tiny, tmp_path):
+  """--mode analyze glue: checkpoint -> schedule/cluster analysis PNGs."""
+  import types
+  from mulan_tpu.main import _analyze
+  _, config, workdir = trained_tiny
+  flags = types.SimpleNamespace(
+      config=config, checkpoint=workdir + '/checkpoints',
+      workdir=str(tmp_path), analyze_batches=1, analyze_min_cosine=0.9)
+  _analyze(flags)
+  for name in ('cluster_gallery', 'schedule_curves', 'schedule_heatmap',
+               'schedule_histograms', 'embedding_pca'):
+    out = list(tmp_path.glob(f'{name}_ckpt4.png'))
+    assert len(out) == 1, (name, list(tmp_path.iterdir()))
