@@ -172,6 +172,9 @@ def eval_bpd_dense(experiment, config, n_timesteps: int = 128,
           chunk['mask'], step_rng))
     if (bi + 1) % 8 == 0:
       logging.info('dense eval: %d images dispatched', n_dispatched)
+  if not results:
+    raise RuntimeError('dense eval saw zero batches: the eval split is '
+                       'empty, batch_size exceeds it, or max_batches=0.')
   bpds = np.concatenate([np.asarray(p)[np.asarray(m, bool)]
                          for p, m in results])
   logging.info('dense eval: %d images total, bpd %.4f', len(bpds),

@@ -153,11 +153,16 @@ def shard_host_padded(mesh: Mesh, batch: dict, n_valid: Optional[int] = None):
   """
   if n_valid is None:
     n_valid = len(next(iter(batch.values())))
-  local_n = mesh.devices.size // jax.process_count()
+  assert n_valid > 0, 'empty per-host batch'
+  pc = jax.process_count()
+  assert mesh.devices.size % pc == 0, (mesh.devices.size, pc)
+  local_n = mesh.devices.size // pc
   pad = -n_valid % local_n
   if pad:
-    batch = {k: np.concatenate([v, v[:pad]], axis=0)
-             for k, v in batch.items()}
+    # Wrap-around row indices: pad may EXCEED n_valid (a trailing chunk
+    # smaller than the device count), so simple v[:pad] tiling under-pads.
+    idx = np.arange(n_valid + pad) % n_valid
+    batch = {k: np.asarray(v)[idx] for k, v in batch.items()}
   batch = dict(batch, mask=np.arange(n_valid + pad) < n_valid)
   return shard_batch(mesh, batch)
 

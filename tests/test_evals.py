@@ -300,3 +300,18 @@ def test_analyze_cli_mode(trained_tiny, tmp_path):
                'schedule_histograms', 'embedding_pca'):
     out = list(tmp_path.glob(f'{name}_ckpt4.png'))
     assert len(out) == 1, (name, list(tmp_path.iterdir()))
+
+
+def test_dense_eval_chunk_smaller_than_device_count(trained_tiny):
+  """--images_per_chunk below the local device count pads MORE rows than
+  are valid (the wrap-pad path) and must still evaluate correctly."""
+  exp, config, _ = trained_tiny
+  bpd = evals.eval_bpd_dense(exp, config, n_timesteps=2, max_batches=1,
+                             images_per_chunk=3)
+  assert np.isfinite(bpd) and 0 < bpd < 50
+
+
+def test_dense_eval_zero_batches_raises(trained_tiny):
+  exp, config, _ = trained_tiny
+  with pytest.raises(RuntimeError, match='zero batches'):
+    evals.eval_bpd_dense(exp, config, n_timesteps=2, max_batches=0)

@@ -40,3 +40,23 @@ def test_scalar_writer_reemits_header_on_key_change(caplog):
     writer.write_scalars(3, {'c': 9.0})
   headers = [r for r in caplog.messages if r.startswith('Step')]
   assert len(headers) == 2  # once for {a,b}, once for {c}
+
+
+def test_shard_host_padded_pad_exceeds_valid_rows():
+  """A trailing chunk SMALLER than the device count must wrap-pad (pad >
+  n_valid broke the old v[:pad] tiling) and keep the mask aligned."""
+  import jax
+  import numpy as np
+  from mulan_tpu.parallel import mesh as mesh_lib
+  mesh = mesh_lib.create_mesh()
+  n_dev = mesh.devices.size
+  assert n_dev == 8  # conftest virtual-device mesh
+  for n_valid in (1, 3, 5, 8, 11):
+    images = np.arange(n_valid, dtype=np.float32)[:, None] + 100
+    put = mesh_lib.shard_host_padded(mesh, {'images': images})
+    rows = np.asarray(put['images'])[:, 0]
+    mask = np.asarray(put['mask'], bool)
+    expect_len = -(-n_valid // n_dev) * n_dev
+    assert rows.shape[0] == expect_len == mask.shape[0]
+    np.testing.assert_array_equal(rows[mask], images[:, 0])  # valid rows first
+    assert set(rows) <= set(images[:, 0])                    # pads are repeats

@@ -77,12 +77,17 @@ def main():
                       'small': small, 'large': large}))
     return imgs / max(dt_large - dt_small, 1e-9) / n_chips
 
+  # Batches actually available: the eval split is synthetic_examples // 4.
+  avail_batches = (config.data.synthetic_examples // 4) // args.batch_size
+
   if args.mode == 'base':
     # Wide window: after the round-3 dispatch-pipelining fix the per-image
     # cost is small next to the tunnel's per-call constants (which the
-    # difference cancels only down to their multi-second jitter).
+    # difference cancels only down to their multi-second jitter). Clamp to
+    # the batches the loader can actually yield or the rate is overstated.
+    large = min(30, avail_batches)
     dense = throughput(lambda n: evals.eval_bpd_dense(
-        exp, config, n_timesteps=128, max_batches=n), small=2, large=30)
+        exp, config, n_timesteps=128, max_batches=n), small=2, large=large)
     print(json.dumps({'metric': 'dense_vlb_images_per_sec_per_chip',
                       'value': round(dense, 4), 'n_timesteps': 128}))
 
@@ -105,6 +110,9 @@ def main():
     # architecture, one solve per IS draw) vs IS samples tiled into shared
     # solves. Difference method (t(2 batches) - t(1 batch)) so the very
     # different trace+compile constants of the two programs cancel.
+    assert avail_batches >= 6, (
+        f'is20 needs 6 eval batches, split has {avail_batches} at '
+        f'batch_size={args.batch_size}')
     n_img = config.training.batch_size_eval
     rows = {}
     for label, is_batch in (('batched', 0), ('serial', 1)):
