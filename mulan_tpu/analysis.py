@@ -265,11 +265,22 @@ def schedule_histograms(gamma_grid: np.ndarray, *,
 
 def embedding_scatter(points: np.ndarray, colors=None):
   """2-D scatter of projected embeddings (pca/tsne output). Returns a
-  Figure."""
+  Figure. Color ids < 0 (unclustered singletons, ClusterResult.assignment
+  convention) are drawn in grey so they cannot masquerade as cluster 0."""
   import matplotlib.pyplot as plt
   points = np.asarray(points)
   fig, ax = plt.subplots()
-  ax.scatter(points[:, 0], points[:, 1], c=colors, s=12)
+  if colors is None:
+    ax.scatter(points[:, 0], points[:, 1], s=12)
+    return fig
+  colors = np.asarray(colors)
+  unclustered = colors < 0
+  if unclustered.any():
+    ax.scatter(points[unclustered, 0], points[unclustered, 1], c='0.75',
+               s=12, label='unclustered')
+    ax.legend(loc='best', fontsize=8)
+  ax.scatter(points[~unclustered, 0], points[~unclustered, 1],
+             c=colors[~unclustered], s=12)
   return fig
 
 

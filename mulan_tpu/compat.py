@@ -205,17 +205,52 @@ def export_params(params: Dict[str, Any]) -> Dict[str, Any]:
   return out
 
 
+def _write_tf_sidecars(output_dir: str, number: int) -> bool:
+  """Write the TF-side checkpoint files clu.checkpoint needs next to
+  `ckpt-N.flax`: the `checkpoint` state proto (latest-checkpoint
+  resolution) and `ckpt-N.index`/`.data-*` (tf_checkpoint.restore()).
+
+  The reference's consumers load via `clu.checkpoint.Checkpoint` — an empty
+  `tf.train.Checkpoint()` plus the flax sidecar — so a trivial tf.train
+  checkpoint saved under the same `ckpt-N` prefix is exactly what its
+  `restore()`/`restore_dict()` path expects. Returns False (bare-.flax
+  export, load_reference_state still reads it) if tensorflow is absent.
+  """
+  try:
+    import tensorflow as tf  # gated: TF is optional in this framework
+  except (ImportError, ModuleNotFoundError):
+    logging.warning('tensorflow unavailable: exporting ckpt-%d.flax without '
+                    'the TF sidecar files; clu.checkpoint.Checkpoint '
+                    'restores need them (load_reference_state does not).',
+                    number)
+    return False
+  ckpt = tf.train.Checkpoint()
+  mngr = tf.train.CheckpointManager(ckpt, output_dir, max_to_keep=None,
+                                    checkpoint_name='ckpt')
+  mngr.save(checkpoint_number=number)
+  # clu derives its next save number from save_counter; align it with N so
+  # a post-restore clu .save() continues at ckpt-(N+1) instead of ckpt-1.
+  ckpt.save_counter.assign(number)
+  mngr.save(checkpoint_number=number)  # rewrite: embed the aligned counter
+  return True
+
+
 def export_reference_checkpoint(checkpoint_dir: str, output_dir: str,
                                 step: Optional[int] = None) -> str:
   """Export an orbax checkpoint saved by this framework into the reference's
-  on-disk format: `ckpt-N.flax` = msgpack of {step, params, ema_params}.
+  on-disk format: `ckpt-N.flax` = msgpack of {step, params, ema_params},
+  plus the TF sidecar files (`checkpoint` proto, `ckpt-N.index`/`.data-*`).
 
-  The reference's eval harness reads exactly this file
-  (`clu.checkpoint.Checkpoint.restore_dict` -> `state_dict['ema_params']`,
-  notebook_utils.py:31-39), and its partial warm-start merges only present
-  keys (experiment.py:377-392), so the missing `opt_state` is fine for eval
-  and warm-start; full train auto-resume over there would re-init Adam
-  moments. Returns the written path.
+  The reference's stated consumers (notebook_utils.py:31-39 Experiment_Colab
+  and experiment.py warm-start) load through
+  `clu.checkpoint.Checkpoint.restore_dict`, which resolves the latest
+  checkpoint via the TF `checkpoint` proto and calls tf_checkpoint.restore()
+  on ckpt-N.index/.data — so those files are written too (verified by
+  tests/test_export.py restoring through the REAL clu.checkpoint). The
+  partial warm-start merges only present keys (experiment.py:377-392), so
+  the missing `opt_state` is fine for eval and warm-start; full train
+  auto-resume over there would re-init Adam moments. Returns the written
+  .flax path.
   """
   from mulan_tpu.train import checkpoint as ckpt_lib
 
@@ -232,6 +267,7 @@ def export_reference_checkpoint(checkpoint_dir: str, output_dir: str,
   path = os.path.join(output_dir, f'ckpt-{step}.flax')
   with open(path, 'wb') as f:
     f.write(flax.serialization.to_bytes(state))
+  _write_tf_sidecars(output_dir, step)
   logging.info('exported step %d to reference format: %s', step, path)
   return path
 

@@ -132,6 +132,28 @@ def _load_tfds(name: str, split: str, data_dir: Optional[str]) -> ArraySource:
   return ArraySource(images, labels)
 
 
+def _iter_tfds_chunks(name: str, split: str, data_dir: Optional[str],
+                      chunk_rows: int):
+  """Yield (n_total, iterator of (images, labels) uint8/int32 chunks) for a
+  TFDS split WITHOUT materializing it in RAM (batch_size=-1 loads ~16 GB/host
+  for imagenet64, reference dataset.py:228-236)."""
+  import tensorflow_datasets as tfds  # gated import
+  builder = tfds.builder(name, data_dir=data_dir)
+  builder.download_and_prepare()
+  n_total = builder.info.splits[split].num_examples
+
+  def chunks():
+    ds = tfds.as_numpy(builder.as_dataset(split=split,
+                                          batch_size=chunk_rows))
+    for batch in ds:
+      images = np.asarray(batch['image'], np.uint8)
+      labels = np.asarray(
+          batch.get('label', np.zeros(len(images))), np.int32)
+      yield images, labels
+
+  return n_total, chunks()
+
+
 def _load_npz(path: str, split: str) -> ArraySource:
   data = np.load(os.path.join(path, f'{split}.npz'))
   labels = data['labels'] if 'labels' in data else np.zeros(
@@ -156,12 +178,74 @@ def _load_npy_memmap(path: str, split: str) -> ArraySource:
   return ArraySource(images, labels)
 
 
-def export_npy_memmap(source: ArraySource, path: str, split: str) -> None:
+def export_npy_memmap(source, path: str, split: str, *,
+                      n_total: Optional[int] = None,
+                      image_shape: Optional[Tuple[int, ...]] = None) -> None:
   """Write a source in the `npy:<path>` memmap layout (one-time conversion
-  of a TFDS/npz dataset for streaming training)."""
+  of a TFDS/npz dataset for streaming training).
+
+  STREAMING: images are written slice-by-slice into an
+  `np.lib.format.open_memmap` destination, so the source never needs to be
+  RAM-resident — required for imagenet64 (~16 GB/host,
+  reference dataset.py:228-236). `source` is either an ArraySource (written
+  in bounded slices; works for np.memmap-backed sources) or an iterator of
+  (images, labels) uint8/int32 chunks, in which case `n_total` and
+  `image_shape` (H, W, C) must be given (see `export_tfds_npy`).
+  """
   os.makedirs(path, exist_ok=True)
-  np.save(os.path.join(path, f'{split}_images.npy'), source.images)
-  np.save(os.path.join(path, f'{split}_labels.npy'), source.labels)
+  if isinstance(source, ArraySource):
+    array_src = source
+    n_total = len(array_src)
+    image_shape = array_src.images.shape[1:]
+    chunk = 4096
+
+    def chunks():
+      for lo in range(0, n_total, chunk):
+        yield (array_src.images[lo:lo + chunk],
+               array_src.labels[lo:lo + chunk])
+
+    source = chunks()
+  elif n_total is None or image_shape is None:
+    raise ValueError('chunk-iterator export needs n_total and image_shape')
+
+  images_out = np.lib.format.open_memmap(
+      os.path.join(path, f'{split}_images.npy'), mode='w+', dtype=np.uint8,
+      shape=(n_total, *image_shape))
+  labels_out = np.zeros((n_total,), np.int32)
+  row = 0
+  for images, labels in source:
+    n = len(images)
+    if row + n > n_total:
+      raise ValueError(f'source yielded more than n_total={n_total} rows')
+    images_out[row:row + n] = images
+    labels_out[row:row + n] = labels
+    row += n
+  if row != n_total:
+    raise ValueError(f'source yielded {row} rows, expected {n_total}')
+  images_out.flush()
+  del images_out  # close the memmap before anyone re-opens it read-only
+  np.save(os.path.join(path, f'{split}_labels.npy'), labels_out)
+
+
+def export_tfds_npy(dataset: str, split: str, path: str, *,
+                    data_dir: Optional[str] = None,
+                    chunk_rows: int = 4096) -> None:
+  """One-time streaming TFDS -> `npy:<path>` conversion: peak host RAM is
+  one `chunk_rows` slice (~50 MB at imagenet64 shapes), not the dataset."""
+  if dataset not in _TFDS_NAMES:
+    raise ValueError(f'unknown TFDS dataset key: {dataset!r}')
+  tfds_name, train_split, eval_split = _TFDS_NAMES[dataset]
+  tfds_split = train_split if split == 'train' else eval_split
+  n_total, chunks = _iter_tfds_chunks(tfds_name, tfds_split, data_dir,
+                                      chunk_rows)
+  first = next(chunks)
+
+  def with_first():
+    yield first
+    yield from chunks
+
+  export_npy_memmap(with_first(), path, split, n_total=n_total,
+                    image_shape=first[0].shape[1:])
 
 
 def _synthetic(seed: int, n: int, image_shape) -> ArraySource:

@@ -33,10 +33,13 @@ flags.DEFINE_integer('n_timesteps', 128,
 flags.DEFINE_integer('n_is', 20, 'Number of importance samples.')
 flags.DEFINE_integer('num_iters', 1, 'Number of passes over the test set.')
 flags.DEFINE_bool('deterministic_noise', False,
-                  'Accepted for reference-CLI parity but inert here: on '
-                  'device the Hutchinson draw is ALWAYS fixed within a '
-                  'solve (the reference redraws per RHS eval unless this '
-                  'flag fixes it) and fresh per importance sample.')
+                  'Fix the Hutchinson draw per solve (the reference '
+                  'redraws per RHS eval unless set). Under --solver=dopri5 '
+                  'the draw is ALWAYS fixed within a solve regardless (a '
+                  'stochastic RHS reads as stiffness to the adaptive '
+                  'controller) and fresh per importance sample; under '
+                  '--solver=rk4 (fixed grid) the reference default '
+                  'applies: redraw per RHS time unless this flag is set.')
 flags.DEFINE_string('hutchinson_type', 'Rademacher',
                     'Hutchinson noise type: Rademacher/Gaussian.')
 flags.DEFINE_string('dequantization', 'tn', 'tn / uniform dequantization.')

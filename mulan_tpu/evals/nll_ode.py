@@ -41,6 +41,7 @@ import numpy as np
 
 from mulan_tpu import data as data_lib
 from mulan_tpu.models import latents
+from mulan_tpu.models.vdm import VDM
 from mulan_tpu.ops.ode import odeint_dopri5, odeint_rk4
 from mulan_tpu.parallel import mesh as mesh_lib
 
@@ -83,7 +84,8 @@ def make_ode_likelihood_fn(model, model_config, *,
                            high_precision: bool = True,
                            max_steps: int = 5000,
                            first_step: float = 0.01,
-                           odeint=odeint_dopri5):
+                           odeint=odeint_dopri5,
+                           redraw_noise: bool = False):
   """Returns jit-able likelihood(params, rng, images) ->
   (log_p, log_q_eps, aux_latent_loss, stats): the first three are (B,);
   `stats` carries the solver diagnostics {nfe, num_steps, num_rejected,
@@ -95,6 +97,14 @@ def make_ode_likelihood_fn(model, model_config, *,
   `odeint` is injectable so tests can run the SAME likelihood through a
   host-side float64 scipy solve (the reference architecture,
   notebook_utils.py:350-361) for tolerance sweeps.
+
+  `redraw_noise=True` redraws the Hutchinson probe at every distinct RHS
+  time by folding the bit-pattern of t into the rng — the reference's
+  DEFAULT behavior (fresh noise per RHS call, notebook_utils.py:233-261).
+  Only meaningful with a FIXED-GRID odeint (rk4): a stochastic RHS reads as
+  stiffness to an adaptive step controller. Each divergence sample is
+  unbiased, so the integral stays unbiased; RK4's two midpoint stages share
+  one draw (same t).
   """
   cfg = model_config
   d = cfg.n_pixels
@@ -117,14 +127,24 @@ def make_ode_likelihood_fn(model, model_config, *,
       raise ValueError(f'unknown dequantization: {dequantization!r}')
     data = data + u
 
-    # Latent inference on the requantized dequantized image
-    # (notebook_utils.py:341-344).
-    requant = jnp.round(jnp.clip(
-        (cfg.vocab_size / 2) * (data + 1) - 0.5, 0, cfg.vocab_size - 1))
-    logits = model.apply({'params': params}, requant,
-                         method=model.apply_encoder)
-    aux_latent_loss = latents.gumbel_kl(logits, cfg.latent_size)
-    embeddings = latents.logits_to_embeddings(logits, cfg.latent_k)
+    if isinstance(model, VDM):
+      # Scalar VDM has no latent: its apply_encoder stub returns zero logits
+      # (vdm.py), whose hard top-k would be ALL-ONES -> conditioning 1.0 fed
+      # into a score UNet trained with conditioning 0 (eval batches carry
+      # zeros, pipeline.py). Route zero conditioning directly; the latent KL
+      # is identically 0. (Reference notebook_utils.py:282-296 routes the
+      # same reverse_ode API.)
+      aux_latent_loss = jnp.zeros((b,))
+      embeddings = jnp.zeros((b, 1), jnp.float32)
+    else:
+      # Latent inference on the requantized dequantized image
+      # (notebook_utils.py:341-344).
+      requant = jnp.round(jnp.clip(
+          (cfg.vocab_size / 2) * (data + 1) - 0.5, 0, cfg.vocab_size - 1))
+      logits = model.apply({'params': params}, requant,
+                           method=model.apply_encoder)
+      aux_latent_loss = latents.gumbel_kl(logits, cfg.latent_size)
+      embeddings = latents.logits_to_embeddings(logits, cfg.latent_k)
 
     eps = _hutchinson_noise(hutch_rng, data.shape, hutchinson_type)
 
@@ -137,10 +157,17 @@ def make_ode_likelihood_fn(model, model_config, *,
     # (the reference's single flattened float64 vector interleaves examples,
     # notebook_utils.py:350-360).
     def ode_func(t, y):
+      if redraw_noise:
+        t_bits = jax.lax.bitcast_convert_type(
+            jnp.asarray(t, jnp.float32), jnp.int32)
+        eps_t = _hutchinson_noise(jax.random.fold_in(hutch_rng, t_bits),
+                                  data.shape, hutchinson_type)
+      else:
+        eps_t = eps
       x = y[:, :d].reshape(data.shape)
       fx, vjp_fn = jax.vjp(lambda xx: drift_fn(t, xx), x)
-      (eps_jac,) = vjp_fn(eps)  # eps^T (df/dx)
-      div = jnp.sum(eps_jac * eps, axis=tuple(range(1, data.ndim)))
+      (eps_jac,) = vjp_fn(eps_t)  # eps^T (df/dx)
+      div = jnp.sum(eps_jac * eps_t, axis=tuple(range(1, data.ndim)))
       return jnp.concatenate([fx.reshape(b, d), div[:, None]], axis=1)
 
     y0 = jnp.concatenate([data.reshape(b, d), jnp.zeros((b, 1))], axis=1)
@@ -201,14 +228,21 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
   sweeps; `success` is vacuously true there, and accuracy must be validated
   against dopri5 (tests/test_ode.py::test_rk4_converges_to_dopri5).
 
-  `deterministic_noise` is accepted for reference-CLI parity but inert: the
-  reference redraws Hutchinson noise per RHS evaluation unless this flag
-  fixes it; on device the noise is ALWAYS fixed within a solve (an adaptive
-  controller reads a stochastic RHS as stiffness) and fresh per IS sample.
+  `deterministic_noise` follows the reference CLI: the reference redraws
+  Hutchinson noise per RHS evaluation unless this flag fixes it
+  (notebook_utils.py:233-261). Under `solver='dopri5'` the noise is ALWAYS
+  fixed within a solve regardless (an adaptive controller reads a
+  stochastic RHS as stiffness) and fresh per IS sample; under
+  `solver='rk4'` (fixed grid — no controller) the reference default
+  applies: noise is redrawn per RHS time unless deterministic_noise=True.
 
-  Every solve's `success` flag is checked (after the full pass is
-  dispatched — solves queue back-to-back on the device, see phase 1/2
-  below): an unconverged (max_steps-hit) solve either raises (default) or,
+  Every solve's `success` flag is checked. With on_solver_failure='raise'
+  (default) the flags are ALSO materialized incrementally during dispatch:
+  once the device queue is a few batches deep, the oldest batch's flags
+  (long finished) are read between dispatches, so a maxed-out solve aborts
+  within ~4 batches of work instead of after the whole split is queued —
+  while the success path keeps its back-to-back device queueing. An
+  unconverged (max_steps-hit) solve either raises (default) or,
   with on_solver_failure='warn', logs an error and EXCLUDES that batch
   from the mean — and the final mean reports
   how many batches were excluded, raising if more than 5% were (a silently
@@ -220,9 +254,11 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
   requantization ties under 'tn' dequantization; averaging is equal there
   and strictly lower-variance otherwise.
   """
-  del deterministic_noise  # see docstring: always fixed within a solve
   if on_solver_failure not in ('raise', 'warn'):
     raise ValueError(f'on_solver_failure: {on_solver_failure!r}')
+  # dopri5 always fixes the noise within a solve (see docstring); rk4
+  # honors the reference default (redraw) unless --deterministic_noise.
+  redraw_noise = (solver == 'rk4') and not deterministic_noise
   model = experiment.model
   cfg = experiment.model_config
   if params is None:
@@ -238,7 +274,8 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
   likelihood = make_ode_likelihood_fn(
       model, cfg, hutchinson_type=hutchinson_type, rtol=rtol, atol=atol,
       dequantization=dequantization, high_precision=high_precision,
-      first_step=first_step, max_steps=max_steps, odeint=odeint)
+      first_step=first_step, max_steps=max_steps, odeint=odeint,
+      redraw_noise=redraw_noise)
   offset = bpd_offset(dequantization, num_is, cfg.gamma_min)
   sharding = mesh_lib.batch_sharding(mesh)
   replicated = mesh_lib.replicated_sharding(mesh)
@@ -254,6 +291,12 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
     return (log_p.reshape(n_rep, b), log_q.reshape(n_rep, b),
             aux.reshape(n_rep, b), stats, mask)
 
+  def fail_msg(bi, stats):
+    return (f'ODE solve hit max_steps={max_steps} without converging '
+            f'(batch {bi}, nfe={int(stats["nfe"])}, '
+            f'rejected={int(stats["num_rejected"])}); raise max_steps '
+            f'or loosen rtol/atol ({rtol}/{atol}).')
+
   iter_means = []
   rng = jax.random.PRNGKey(0)
   for it in range(num_iters):
@@ -262,11 +305,15 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
 
     # Phase 1 — dispatch: queue every (batch, IS-group) solve without
     # touching the results. Reading stats/log_p between dispatches would
-    # sync the host into each solve's round-trip; deferring lets JAX queue
+    # sync the host into every solve's round-trip; deferring lets JAX queue
     # solves back-to-back on the device (outputs are (num_is, B) scalars —
-    # negligible to hold). Consequence: with on_solver_failure='raise' the
-    # failure surfaces after the full eval pass is queued, not mid-pass.
+    # negligible to hold). In 'raise' mode the success flags of the OLDEST
+    # queued batch (already finished — the device runs ~check_every batches
+    # ahead) are still materialized incrementally, so a failure surfaces
+    # within ~check_every batches of device work, not after the full pass.
     dispatched = []  # (bi, groups, [(log_p, log_q, aux, stats, mask), ...])
+    checked = 0      # batches whose success flags were read in phase 1
+    check_every = 4
     for bi, batch in enumerate(loader):
       if max_batches is not None and bi >= max_batches:
         break
@@ -287,6 +334,13 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
         outs.append(likelihood_group(
             params, is_rng, put['images'], put['mask'], n_rep))
       dispatched.append((bi, groups, outs))
+      if on_solver_failure == 'raise':
+        while len(dispatched) - checked > check_every:
+          cbi, _, couts = dispatched[checked]
+          for _, _, _, stats, _ in couts:
+            if not bool(stats['success']):
+              raise RuntimeError(fail_msg(cbi, stats))
+          checked += 1
 
     # Phase 2 — materialize and aggregate.
     bpds = []
@@ -299,10 +353,7 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
       mask = None
       for log_p, log_q, aux, stats, mask in outs:
         if not bool(stats['success']):
-          msg = (f'ODE solve hit max_steps={max_steps} without converging '
-                 f'(batch {bi}, nfe={int(stats["nfe"])}, '
-                 f'rejected={int(stats["num_rejected"])}); raise max_steps '
-                 f'or loosen rtol/atol ({rtol}/{atol}).')
+          msg = fail_msg(bi, stats)
           if on_solver_failure == 'raise':
             raise RuntimeError(msg)
           logging.error('%s — batch excluded from the BPD mean.', msg)
@@ -362,9 +413,14 @@ def make_ode_sample_fn(model, model_config, *, rtol: float = 1e-5,
 
   def sample(params, rng, sample_size: int):
     rng, logits_rng, prior_rng = jax.random.split(rng, 3)
-    embeddings = latents.logits_to_embeddings(
-        jax.random.normal(logits_rng, (sample_size, cfg.latent_size)),
-        cfg.latent_k)
+    if isinstance(model, VDM):
+      # No latent: zero conditioning, matching the ancestral sampler
+      # (loop.py sample_fn feeds conditioning = zeros).
+      embeddings = jnp.zeros((sample_size, 1), jnp.float32)
+    else:
+      embeddings = latents.logits_to_embeddings(
+          jax.random.normal(logits_rng, (sample_size, cfg.latent_size)),
+          cfg.latent_k)
     shape = (sample_size, *cfg.image_shape)
 
     def ode_func(t, y):

@@ -197,8 +197,8 @@ def _analyze(FLAGS):
       'schedule_histograms': analysis.schedule_histograms(grids[0]),
       'embedding_pca': analysis.embedding_scatter(
           analysis.pca_transformation(emb_np, 2),
-          colors=np.where(clusters.assignment >= 0, clusters.assignment, 0)
-          if clusters.n_clusters else None),
+          # assignment == -1 (unclustered) renders grey, not cluster 0
+          colors=clusters.assignment if clusters.n_clusters else None),
   }
   if jax.process_index() == 0:
     os.makedirs(FLAGS.workdir, exist_ok=True)

@@ -81,7 +81,12 @@ class ModelConfig:
   # TPU execution policy (new in this framework)
   compute_dtype: str = 'float32'  # 'float32' | 'bfloat16' (UNet compute only)
   use_pallas: bool = False        # route hot ops through Pallas kernels
-  remat: bool = False             # jax.checkpoint the UNet blocks
+  # jax.checkpoint the UNet blocks: False/'none' | True/'all' |
+  # 'attn' (attention blocks only — their flash residuals dominate the HBM
+  # blow-up at with_attention=True while the ResNet convs dominate FLOPs,
+  # so attn-only remat keeps most of the memory win without recomputing the
+  # convs; measured in docs/PERF.md).
+  remat: Any = False
   # MXU pass count for the gamma-MLP matmuls. Storage/accumulation stays
   # float32 either way; 'highest' = 6-pass bf16 (exact f32 emulation, the
   # reference's pinned fp32-matmul behavior), 'high' = 3-pass bf16 (~2x MXU
@@ -93,6 +98,24 @@ class ModelConfig:
   # +n_blocks * activation-size HBM residual for ~130 fewer kernel launches
   # per train step (docs/NEXT.md item 2). Only active with use_pallas.
   dropout_mask_batch: bool = False
+
+  @property
+  def remat_blocks(self) -> bool:
+    if self.remat in (False, 'none'):
+      return False
+    if self.remat in (True, 'all'):
+      return True
+    if self.remat == 'attn':
+      return False
+    raise ValueError(f'unknown remat mode: {self.remat!r}')
+
+  @property
+  def remat_attn(self) -> bool:
+    if self.remat in (False, 'none'):
+      return False
+    if self.remat in (True, 'all', 'attn'):
+      return True
+    raise ValueError(f'unknown remat mode: {self.remat!r}')
 
   @property
   def gamma_matmul_precision(self):

@@ -50,19 +50,22 @@ class _UnetTrunk(nn.Module):
 
     h = nn.Conv(n_embd, (3, 3), dtype=dtype, name='conv_in')(h)
     hs = [h]
-    block_cls = maybe_remat(ResnetBlock, cfg.remat)
+    block_cls = maybe_remat(ResnetBlock, cfg.remat_blocks)
+    attn_cls = nn.remat(AttnBlock) if cfg.remat_attn else AttnBlock
     for i in range(cfg.forward_n_layer):
       h = block_cls(out_ch=n_embd, pdrop=cfg.sm_pdrop, dtype=dtype,
                     hw_dropout=cfg.use_pallas,
                     name=f'down_block_{i}')(hs[-1], cond, deterministic)
       if cfg.with_attention:
-        h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name=f'down_attn_{i}')(h)
+        h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                     name=f'down_attn_{i}')(h)
       hs.append(h)
 
     h = block_cls(pdrop=cfg.sm_pdrop, dtype=dtype,
                   hw_dropout=cfg.use_pallas,
                   name='mid_block_1')(hs[-1], cond, deterministic)
-    h = AttnBlock(dtype=dtype, use_pallas=cfg.use_pallas, name='mid_attn_1')(h)
+    h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                 name='mid_attn_1')(h)
     h = block_cls(pdrop=cfg.sm_pdrop, dtype=dtype,
                   hw_dropout=cfg.use_pallas,
                   name='mid_block_2')(h, cond, deterministic)

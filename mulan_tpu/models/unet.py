@@ -79,11 +79,12 @@ class UNet(nn.Module):
     h = nn.Conv(n_embd, (3, 3), dtype=dtype, name='conv_in')(h)
     hs = [h]
 
-    block_cls = maybe_remat(ResnetBlock, cfg.remat)
+    block_cls = maybe_remat(ResnetBlock, cfg.remat_blocks)
     # Attention residuals are big: flash saves an f32 (B, heads, T, 128)
     # logsumexp per block — 64 MB/block at flagship shapes, OOM with
-    # with_attention=True (66 blocks) at batch 128 without remat.
-    attn_cls = nn.remat(AttnBlock) if cfg.remat else AttnBlock
+    # with_attention=True (66 blocks) at batch 128 without remat
+    # (remat='attn' checkpoints only these, keeping the conv FLOPs).
+    attn_cls = nn.remat(AttnBlock) if cfg.remat_attn else AttnBlock
 
     # Batched mask generation: every block's dropout mask has the same
     # (B, H, W, n_embd) shape (all blocks project to n_embd before the

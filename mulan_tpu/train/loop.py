@@ -287,11 +287,15 @@ class Experiment:
     self.state = jax.device_get(state)
 
   def _run_eval(self, ema_params, num_steps_eval: int):
+    # Dispatch every eval step, THEN materialize once: a per-batch float()
+    # conversion would sync the host into each dispatch's round-trip (the
+    # pattern the standalone evaluators avoid, evals/vlb.py), serializing
+    # the in-training eval block on tunnel/dispatch latency.
     all_scalars = []
     for idx in range(num_steps_eval):
       batch = self._put_batch(next(self.eval_iter))
-      scalars = self._p_eval_step(ema_params, batch, jnp.int32(idx))
-      all_scalars.append(jax.tree.map(float, scalars))
+      all_scalars.append(self._p_eval_step(ema_params, batch, jnp.int32(idx)))
+    all_scalars = jax.device_get(all_scalars)
     means = {
         'eval_' + k: float(np.mean([s[k] for s in all_scalars]))
         for k in all_scalars[0]

@@ -14,12 +14,15 @@ import numpy as np
 
 
 def image_grid(images) -> np.ndarray:
-  """(B, H, W, C) -> (G*H, G*W, C) with G = floor(sqrt(B))."""
+  """(B, H, W, C) -> (G*H, G*W, C) with G = floor(sqrt(B)).
+
+  Sample order matches the reference exactly (utils.py:109 reverses each
+  hstack'd row, so every row lays its samples out right-to-left)."""
   images = np.asarray(images)
   g = int(np.floor(np.sqrt(images.shape[0])))
   images = images[:g * g]
   _, h, w, c = images.shape
-  grid = images.reshape(g, g, h, w, c).transpose(0, 2, 1, 3, 4)
+  grid = images.reshape(g, g, h, w, c)[:, ::-1].transpose(0, 2, 1, 3, 4)
   return grid.reshape(g * h, g * w, c)
 
 

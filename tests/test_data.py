@@ -135,3 +135,64 @@ def test_npy_memmap_without_labels(tmp_path, src):
   np.save(tmp_path / 'eval_images.npy', src.images)
   loaded = pipeline.load_source(f'npy:{tmp_path}', 'eval')
   assert np.all(loaded.labels == 0)
+
+
+def test_export_npy_memmap_streams_chunks(tmp_path, src):
+  """Chunk-iterator export (the imagenet64-scale path): the writer consumes
+  (images, labels) slices lazily — peak RAM is one chunk — and the result is
+  byte-identical to the in-RAM export."""
+  consumed = []
+
+  def chunks():
+    for lo in range(0, len(src), 3):  # deliberately uneven final chunk
+      consumed.append(lo)
+      yield src.images[lo:lo + 3], src.labels[lo:lo + 3]
+
+  pipeline.export_npy_memmap(chunks(), str(tmp_path / 'stream'), 'train',
+                             n_total=len(src),
+                             image_shape=src.images.shape[1:])
+  assert consumed  # the generator was actually driven
+  pipeline.export_npy_memmap(src, str(tmp_path / 'ram'), 'train')
+  streamed = pipeline.load_source(f'npy:{tmp_path / "stream"}', 'train')
+  resident = pipeline.load_source(f'npy:{tmp_path / "ram"}', 'train')
+  np.testing.assert_array_equal(streamed.images, resident.images)
+  np.testing.assert_array_equal(streamed.labels, resident.labels)
+  np.testing.assert_array_equal(streamed.images, src.images)
+
+
+def test_export_npy_memmap_row_count_mismatch_raises(tmp_path, src):
+  with pytest.raises(ValueError, match='expected'):
+    pipeline.export_npy_memmap(
+        iter([(src.images[:2], src.labels[:2])]), str(tmp_path), 'train',
+        n_total=5, image_shape=src.images.shape[1:])
+  with pytest.raises(ValueError, match='more than'):
+    pipeline.export_npy_memmap(
+        iter([(src.images, src.labels)]), str(tmp_path), 'train',
+        n_total=2, image_shape=src.images.shape[1:])
+
+
+def test_export_tfds_npy_streams_without_materializing(tmp_path, src,
+                                                       monkeypatch):
+  """export_tfds_npy never calls the batch_size=-1 loader: it streams
+  builder chunks straight to the memmap (mocked TFDS — the sandbox has no
+  tensorflow_datasets)."""
+  def fake_iter(name, split, data_dir, chunk_rows):
+    assert name == 'downsampled_imagenet/64x64' and split == 'validation'
+
+    def chunks():
+      for lo in range(0, len(src), chunk_rows):
+        yield (src.images[lo:lo + chunk_rows],
+               src.labels[lo:lo + chunk_rows])
+
+    return len(src), chunks()
+
+  monkeypatch.setattr(pipeline, '_iter_tfds_chunks', fake_iter)
+  monkeypatch.setattr(
+      pipeline, '_load_tfds',
+      lambda *a, **k: (_ for _ in ()).throw(
+          AssertionError('streaming export must not use the RAM loader')))
+  pipeline.export_tfds_npy('imagenet64', 'eval', str(tmp_path),
+                           chunk_rows=3)
+  loaded = pipeline.load_source(f'npy:{tmp_path}', 'eval')
+  np.testing.assert_array_equal(loaded.images, src.images)
+  np.testing.assert_array_equal(loaded.labels, src.labels)

@@ -24,6 +24,37 @@ def trained_tiny(tmp_path_factory):
   return exp, config, workdir
 
 
+@pytest.fixture(scope='module')
+def trained_tiny_vdm(tmp_path_factory):
+  """A tiny scalar-gamma VDM (vdm_type='vdm') trained for 4 steps."""
+  from mulan_tpu.train.loop import Experiment
+  config = tiny_synthetic.get_config()
+  config.vdm_type = 'vdm'
+  config.model.gamma_type = 'learnable_nnet'
+  config.model.z_conditioning = False
+  workdir = str(tmp_path_factory.mktemp('vdm_run'))
+  exp = Experiment(config)
+  exp.train_and_evaluate(workdir)
+  return exp, config
+
+
+@pytest.fixture(scope='module')
+def converged_tiny(tmp_path_factory):
+  """The tiny synthetic model trained to convergence (512 steps) — the
+  fixture behind the estimator-ordering integration test."""
+  from mulan_tpu.train.loop import Experiment
+  config = tiny_synthetic.get_config()
+  config.training.substeps = 64
+  config.training.num_steps_train = 512
+  config.training.steps_per_logging = 256
+  config.training.steps_per_eval = 512
+  config.training.steps_per_save = 512
+  workdir = str(tmp_path_factory.mktemp('converged'))
+  exp = Experiment(config)
+  exp.train_and_evaluate(workdir)
+  return exp, config
+
+
 def test_sparse_vlb(trained_tiny):
   exp, config, _ = trained_tiny
   bpd = evals.eval_bpd_sparse(exp, config, max_batches=2)
@@ -95,6 +126,101 @@ def test_ode_rk4_likelihood_converges_to_dopri5(trained_tiny, rng):
   # per-pixel-bpd-scale agreement: |delta log_p| / (D ln 2) < 0.01 bpd
   drift = np.max(np.abs(np.asarray(rk4_logp) - np.asarray(ref_logp)))
   assert drift / (d * np.log(2.0)) < 0.01, drift
+
+
+def test_estimator_ordering_nll_le_dense_le_sparse(converged_tiny):
+  """The strongest sandbox stand-in for the reference's published-BPD
+  reproduction (README.md:42-60 — no TFDS data or released checkpoints
+  here): on a TRAINED model, exact NLL <= dense VLB ~= sparse VLB within
+  MC error. A wrong sign, offset, or weighting in ANY estimator breaks the
+  ordering (the discrete-likelihood offsets alone are ~O(1) bpd)."""
+  exp, config = converged_tiny
+  sparse = evals.eval_bpd_sparse(exp, config)
+  dense = evals.eval_bpd_dense(exp, config, n_timesteps=64)
+  nll = evals.eval_bpd_ode(exp, config, num_is=4, max_batches=4,
+                           rtol=1e-4, atol=1e-4)
+  assert np.isfinite(sparse) and np.isfinite(dense) and np.isfinite(nll)
+  # dense (stratified t-grid) and sparse (MC) estimate the SAME VLB.
+  assert abs(dense - sparse) < 0.3, (dense, sparse)
+  # the exact NLL is bounded by the VLB (margins = measured MC noise).
+  assert nll <= dense + 0.1, (nll, dense)
+  assert nll <= sparse + 0.1, (nll, sparse)
+
+
+def test_ode_nll_runs_for_vdm_type(trained_tiny_vdm):
+  """Scalar-VDM ODE eval end-to-end: the zero encoder logits must NOT turn
+  into conditioning=1.0 (hard top-k ties on all-equal logits); eval batches
+  carry conditioning zeros. Consistency: NLL <= sparse VLB."""
+  exp, config = trained_tiny_vdm
+  sparse = evals.eval_bpd_sparse(exp, config, max_batches=4)
+  ode = evals.eval_bpd_ode(exp, config, num_is=2, max_batches=1,
+                           rtol=1e-3, atol=1e-3)
+  assert np.isfinite(ode)
+  assert ode <= sparse + 0.5, (ode, sparse)
+
+
+def test_vdm_ode_path_skips_topk_conditioning(trained_tiny_vdm, monkeypatch,
+                                              rng):
+  """Pin the fix: the scalar VDM must not derive its ODE conditioning from
+  the hard top-k of its (all-zero) encoder-stub logits."""
+  from mulan_tpu.evals import nll_ode
+
+  exp, _ = trained_tiny_vdm
+
+  def boom(*args, **kwargs):
+    raise AssertionError('scalar VDM must not route conditioning through '
+                         'logits_to_embeddings (all-ones on zero logits)')
+
+  monkeypatch.setattr(nll_ode.latents, 'logits_to_embeddings', boom)
+  fn = nll_ode.make_ode_likelihood_fn(exp.model, exp.model_config,
+                                      rtol=1e-3, atol=1e-3)
+  images = np.full((2, *exp.model_config.image_shape), 100, np.uint8)
+  log_p, _, aux, stats = fn(exp.state.ema_params, rng, images)
+  assert np.all(np.isfinite(np.asarray(log_p)))
+  np.testing.assert_array_equal(np.asarray(aux), 0.0)  # no latent KL
+  assert bool(stats['success'])
+
+
+def test_rk4_redraw_noise_is_active_and_consistent(trained_tiny):
+  """Under the fixed grid the reference-default per-RHS-time Hutchinson
+  redraw applies (deterministic_noise=False): the redrawn estimate must
+  differ from the fixed-noise one on identical rng (path active) while
+  estimating the same BPD within MC tolerance."""
+  exp, config, _ = trained_tiny
+  fixed = evals.eval_bpd_ode(exp, config, num_is=2, max_batches=1,
+                             solver='rk4', rk4_steps=32,
+                             deterministic_noise=True)
+  redraw = evals.eval_bpd_ode(exp, config, num_is=2, max_batches=1,
+                              solver='rk4', rk4_steps=32)
+  assert np.isfinite(fixed) and np.isfinite(redraw)
+  assert redraw != fixed
+  assert abs(redraw - fixed) < 0.5, (redraw, fixed)
+
+
+def test_ode_failure_raises_incrementally(trained_tiny, monkeypatch):
+  """on_solver_failure='raise' must abort within ~4 batches of dispatched
+  work, not after the whole split is queued: the loader must NOT be
+  consumed to the end when the very first batch's solve maxes out."""
+  from mulan_tpu.evals import nll_ode
+
+  exp, config, _ = trained_tiny
+  consumed = []
+
+  def counting_loader(config_, batch_size=None):
+    def gen():
+      for i in range(32):
+        consumed.append(i)
+        yield {'images': np.full((4, 8, 8, 3), 100, np.uint8),
+               'labels': np.zeros((4,), np.int64),
+               'conditioning': np.zeros((4,), np.uint8)}
+    return gen()
+
+  monkeypatch.setattr(nll_ode.data_lib, 'create_one_time_eval_dataset',
+                      counting_loader)
+  with pytest.raises(RuntimeError, match='max_steps'):
+    evals.eval_bpd_ode(exp, config, num_is=1, rtol=1e-10, atol=1e-12,
+                       first_step=1e-6, max_steps=3)
+  assert len(consumed) <= 8, f'loader consumed {len(consumed)} batches'
 
 
 def test_ode_failure_exclusion_accounting(trained_tiny):

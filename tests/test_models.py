@@ -187,3 +187,20 @@ def test_remat_path_matches_no_remat(tiny_config, rng):
   o2 = _elbo(m2, params, inputs, jax.random.fold_in(rng, 1))
   np.testing.assert_allclose(np.asarray(o1.loss_diff),
                              np.asarray(o2.loss_diff), rtol=1e-5)
+
+
+def test_remat_attn_only_mode(tiny_config, rng):
+  """remat='attn' (selective: checkpoint only the attention blocks) is
+  param-compatible with remat='none'/'all' and computes the same ELBO."""
+  cfg_plain = dataclasses.replace(tiny_config, sm_pdrop=0.0,
+                                  with_attention=True)
+  cfg_attn = dataclasses.replace(cfg_plain, remat='attn')
+  cfg_all = dataclasses.replace(cfg_plain, remat='all')
+  m0 = build_model('mulan_epsilon', cfg_plain)
+  params, inputs = _init(m0, rng)
+  o0 = _elbo(m0, params, inputs, jax.random.fold_in(rng, 1))
+  for cfg in (cfg_attn, cfg_all):
+    m = build_model('mulan_epsilon', cfg)
+    o = _elbo(m, params, inputs, jax.random.fold_in(rng, 1))
+    np.testing.assert_allclose(np.asarray(o.loss_diff),
+                               np.asarray(o0.loss_diff), rtol=1e-5)

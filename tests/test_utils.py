@@ -11,8 +11,11 @@ def test_image_grid_shape():
   images = np.arange(16 * 4 * 4 * 3, dtype=np.uint8).reshape(16, 4, 4, 3)
   grid = image_grid(images)
   assert grid.shape == (16, 16, 3)
-  # top-left tile is image 0
-  np.testing.assert_array_equal(grid[:4, :4], images[0])
+  # reference layout (utils.py:109): each row is reversed, so image 0 sits
+  # at the top-RIGHT and image 3 at the top-left.
+  np.testing.assert_array_equal(grid[:4, 12:], images[0])
+  np.testing.assert_array_equal(grid[:4, :4], images[3])
+  np.testing.assert_array_equal(grid[4:8, 12:], images[4])
 
 
 def test_image_grid_non_square_batch():

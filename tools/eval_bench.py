@@ -86,6 +86,11 @@ def main():
     # difference cancels only down to their multi-second jitter). Clamp to
     # the batches the loader can actually yield or the rate is overstated.
     large = min(30, avail_batches)
+    assert avail_batches > 2, (
+        f'base mode needs >2 eval batches for the difference window '
+        f'(large={large} vs small=2 would measure 0 images); split has '
+        f'{avail_batches} at batch_size={args.batch_size} — raise '
+        f'--synthetic_examples or lower --batch_size')
     dense = throughput(lambda n: evals.eval_bpd_dense(
         exp, config, n_timesteps=128, max_batches=n), small=2, large=large)
     print(json.dumps({'metric': 'dense_vlb_images_per_sec_per_chip',
