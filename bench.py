@@ -32,10 +32,11 @@ def main():
   parser.add_argument('--attention', action='store_true',
                       help='with_attention=True (attn after every block)')
   parser.add_argument('--remat', default=None, choices=['none', 'all',
-                                                        'attn'],
+                                                        'attn', 'alt'],
                       help="remat policy override ('attn' = checkpoint "
-                           'only attention blocks); --attention defaults '
-                           "to 'all'")
+                           "only attention blocks, 'alt' = attn + every "
+                           'other ResNet block); --attention defaults '
+                           "to 'attn' (measured best, docs/PERF.md)")
   parser.add_argument('--ldm', action='store_true',
                       help="unet_type='ldm' (per-pixel gamma conditioning)")
   parser.add_argument('--stacked', action='store_true',
@@ -94,7 +95,7 @@ def main():
     config.model.with_attention = True
     # 66 attention blocks' residuals (64 MB f32 lse each) exceed HBM at
     # batch 128 without rematerialization.
-    config.model.remat = 'all'
+    config.model.remat = 'attn'  # measured best policy (docs/PERF.md r4)
     variant += '_attn_remat'
   if args.remat is not None:
     config.model.remat = args.remat

@@ -65,7 +65,9 @@ def get_config():
       # TPU execution policy
       compute_dtype='bfloat16',
       use_pallas=True,
-      remat='none',  # 'none' | 'all' | 'attn' (string so CLI overrides work)
+      remat='none',  # 'none'|'all'|'attn'|'alt' (string so CLI overrides
+      # work); for with_attention=True use 'attn' — measured best
+      # (docs/PERF.md round 4)
       # gamma-MLP MXU pass count ('highest' = exact-f32 6-pass, 'high' =
       # 3-pass, ~2x rate; flip only with tools/tpu_checks.py
       # check_gamma_precision green) and batched dropout-mask generation

@@ -85,7 +85,8 @@ class ModelConfig:
   # 'attn' (attention blocks only — their flash residuals dominate the HBM
   # blow-up at with_attention=True while the ResNet convs dominate FLOPs,
   # so attn-only remat keeps most of the memory win without recomputing the
-  # convs; measured in docs/PERF.md).
+  # convs) | 'alt' (attention blocks + every other ResNet block — the
+  # middle dial when attn-only still exceeds HBM; measured in docs/PERF.md).
   remat: Any = False
   # MXU pass count for the gamma-MLP matmuls. Storage/accumulation stays
   # float32 either way; 'highest' = 6-pass bf16 (exact f32 emulation, the
@@ -101,19 +102,26 @@ class ModelConfig:
 
   @property
   def remat_blocks(self) -> bool:
-    if self.remat in (False, 'none'):
+    if self.remat in (False, 'none', 'attn', 'alt'):
       return False
     if self.remat in (True, 'all'):
       return True
-    if self.remat == 'attn':
-      return False
     raise ValueError(f'unknown remat mode: {self.remat!r}')
 
   @property
   def remat_attn(self) -> bool:
     if self.remat in (False, 'none'):
       return False
-    if self.remat in (True, 'all', 'attn'):
+    if self.remat in (True, 'all', 'attn', 'alt'):
+      return True
+    raise ValueError(f'unknown remat mode: {self.remat!r}')
+
+  @property
+  def remat_alt_blocks(self) -> bool:
+    """Checkpoint every other ResNet block (only the 'alt' mode)."""
+    if self.remat in (False, 'none', 'attn', True, 'all'):
+      return False
+    if self.remat == 'alt':
       return True
     raise ValueError(f'unknown remat mode: {self.remat!r}')
 

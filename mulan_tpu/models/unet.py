@@ -80,6 +80,7 @@ class UNet(nn.Module):
     hs = [h]
 
     block_cls = maybe_remat(ResnetBlock, cfg.remat_blocks)
+    alt_block_cls = maybe_remat(ResnetBlock, True)  # remat='alt' even blocks
     # Attention residuals are big: flash saves an f32 (B, heads, T, 128)
     # logsumexp per block — 64 MB/block at flagship shapes, OOM with
     # with_attention=True (66 blocks) at batch 128 without remat
@@ -100,14 +101,20 @@ class UNet(nn.Module):
           (z.shape[0], z.shape[1], z.shape[2], n_embd), cfg.sm_pdrop, dtype)
     block_idx = [0]
 
+    n_res = [0]
+
     def res_block(name, h, out_ch=None):
       mask = None
       if masks is not None:
         mask = masks[block_idx[0]]
         block_idx[0] += 1
-      return block_cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
-                       hw_dropout=cfg.use_pallas, name=name)(
-                           h, cond, deterministic, mask)
+      cls = block_cls
+      if cfg.remat_alt_blocks and n_res[0] % 2 == 0:
+        cls = alt_block_cls
+      n_res[0] += 1
+      return cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
+                 hw_dropout=cfg.use_pallas, name=name)(
+                     h, cond, deterministic, mask)
 
     for i in range(n_layers):
       h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)

@@ -102,6 +102,115 @@ def test_tfds_gated_error_message():
     pipeline.load_source('cifar10', 'train')
 
 
+# ---------------------------------------------------------------------------
+# Fake tensorflow_datasets: executes the real _load_tfds/_iter_tfds_chunks
+# bodies and every load_source dataset branch (the sandbox has no tfds, so
+# only the builder I/O is simulated — reference dataset.py:85-171 factory).
+# ---------------------------------------------------------------------------
+
+
+class _FakeBuilder:
+
+  def __init__(self, splits):
+    import types
+    self._splits = splits  # split name -> {'image': ..., 'label': ...}
+    self.info = types.SimpleNamespace(splits={
+        s: types.SimpleNamespace(num_examples=len(d['image']))
+        for s, d in splits.items()})
+
+  def download_and_prepare(self):
+    pass
+
+  def as_dataset(self, split, batch_size=None):
+    d = self._splits[split]
+    if batch_size == -1:
+      return d
+
+    def gen():
+      for lo in range(0, len(d['image']), batch_size):
+        yield {k: v[lo:lo + batch_size] for k, v in d.items()}
+
+    return gen()
+
+
+def _fake_tfds_module():
+  import types
+  rng = np.random.default_rng(0)
+
+  def imgs(n, h, w, c):
+    return rng.integers(0, 256, size=(n, h, w, c)).astype(np.uint8)
+
+  def splits(names, n, h, w, c, n_labels=10):
+    return {s: {'image': imgs(n, h, w, c),
+                'label': rng.integers(0, n_labels, size=(n,))}
+            for s in names}
+
+  builders = {
+      'cifar10': _FakeBuilder(splits(('train', 'test'), 12, 8, 8, 3)),
+      'downsampled_imagenet/32x32':
+          _FakeBuilder(splits(('train', 'validation'), 12, 8, 8, 3)),
+      'imagenet_resized/32x32':
+          _FakeBuilder(splits(('train', 'validation'), 12, 8, 8, 3)),
+      'downsampled_imagenet/64x64':
+          _FakeBuilder(splits(('train', 'validation'), 12, 8, 8, 3)),
+      'fashion_mnist': _FakeBuilder(splits(('train', 'test'), 12, 28, 28, 1)),
+      'dtd': _FakeBuilder(splits(('train', 'test'), 10, 40, 40, 3,
+                                 n_labels=5)),
+      # shapes3d has no 'test' split (load_source uses 'train' for eval)
+      'shapes3d': _FakeBuilder(splits(('train',), 14, 16, 16, 3,
+                                      n_labels=4)),
+  }
+  mod = types.ModuleType('tensorflow_datasets')
+  mod.builder = lambda name, data_dir=None: builders[name]
+  mod.as_numpy = lambda x: x
+  return mod
+
+
+@pytest.fixture
+def fake_tfds(monkeypatch):
+  import sys
+  mod = _fake_tfds_module()
+  monkeypatch.setitem(sys.modules, 'tensorflow_datasets', mod)
+  return mod
+
+
+@pytest.mark.parametrize('dataset', sorted(pipeline._TFDS_NAMES))
+def test_load_source_tfds_keys(dataset, fake_tfds):
+  """Every TFDS dataset key runs through the REAL _load_tfds + postprocess +
+  variant pipeline for both splits (reference dataset.py:85-137, 324-356)."""
+  for split in ('train', 'eval'):
+    src = pipeline.load_source(dataset, split, image_shape=(8, 8, 3))
+    assert src.images.dtype == np.uint8
+    assert src.images.ndim == 4 and len(src) == 12
+    h = 16 if dataset == 'cifar10_bothfreq' else 8
+    assert src.images.shape[1:] == (h, 8, 3)
+    assert src.labels.shape == (12,)
+
+
+def test_load_source_dtd_shapes3d_mixture(fake_tfds):
+  """dtd+shapes3d mixture: resized to image_shape, dtd labels offset past
+  the shapes3d label space, deterministically shuffled
+  (reference dataset.py:139-171)."""
+  src = pipeline.load_source('dtd_shapes3d', 'train', image_shape=(8, 8, 3))
+  assert src.images.shape == (24, 8, 8, 3)
+  # shapes3d labels 0..3, dtd offset to 4..8
+  assert set(np.unique(src.labels)) <= set(range(9))
+  assert src.labels.max() >= 4
+  # eval: dtd uses its 'test' split, shapes3d falls back to 'train'
+  ev = pipeline.load_source('dtd_shapes3d', 'eval', image_shape=(8, 8, 3))
+  assert ev.images.shape == (24, 8, 8, 3)
+
+
+def test_export_tfds_npy_via_builder_chunks(fake_tfds, tmp_path):
+  """export_tfds_npy drives the REAL _iter_tfds_chunks against the builder
+  API and lands byte-identical data to the batch_size=-1 loader."""
+  pipeline.export_tfds_npy('cifar10', 'train', str(tmp_path), chunk_rows=5)
+  streamed = pipeline.load_source(f'npy:{tmp_path}', 'train')
+  resident = pipeline._load_tfds('cifar10', 'train', None)
+  np.testing.assert_array_equal(streamed.images, resident.images)
+  np.testing.assert_array_equal(streamed.labels, resident.labels)
+
+
 def test_npz_roundtrip(tmp_path, src):
   np.savez(tmp_path / 'train.npz', images=src.images, labels=src.labels)
   loaded = pipeline.load_source(f'npz:{tmp_path}', 'train')

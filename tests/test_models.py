@@ -195,11 +195,12 @@ def test_remat_attn_only_mode(tiny_config, rng):
   cfg_plain = dataclasses.replace(tiny_config, sm_pdrop=0.0,
                                   with_attention=True)
   cfg_attn = dataclasses.replace(cfg_plain, remat='attn')
+  cfg_alt = dataclasses.replace(cfg_plain, remat='alt')
   cfg_all = dataclasses.replace(cfg_plain, remat='all')
   m0 = build_model('mulan_epsilon', cfg_plain)
   params, inputs = _init(m0, rng)
   o0 = _elbo(m0, params, inputs, jax.random.fold_in(rng, 1))
-  for cfg in (cfg_attn, cfg_all):
+  for cfg in (cfg_attn, cfg_alt, cfg_all):
     m = build_model('mulan_epsilon', cfg)
     o = _elbo(m, params, inputs, jax.random.fold_in(rng, 1))
     np.testing.assert_allclose(np.asarray(o.loss_diff),
