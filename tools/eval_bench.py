@@ -33,7 +33,7 @@ def main():
   import argparse
   parser = argparse.ArgumentParser()
   parser.add_argument('--mode', default='base',
-                      choices=['base', 'is20', 'rk4', 'sample'],
+                      choices=['base', 'is20', 'rk4', 'sample', 'eval_block'],
                       help='base: dense + single-IS ode rows; '
                            'is20: serial-vs-batched IS at num_is=20 '
                            '(VERDICT r2 item 3 target: >=4x); '
@@ -163,6 +163,33 @@ def main():
                           2 * config.training.batch_size_eval / dt_ref
                           / n_chips, 4),
                       'bpd': round(float(bpd_ref), 4)}))
+
+  elif args.mode == 'eval_block':
+    # The in-training eval block at the steps_per_eval cadence
+    # (loop.py _run_eval). Times the shipped dispatch-then-materialize
+    # pattern against the old per-batch host sync (jax.tree.map(float)
+    # after every _p_eval_step) it replaced — VERDICT r3 item 5's number.
+    import jax.numpy as jnp
+    n = config.training.num_steps_eval
+
+    def run_synced(n_steps):
+      out = []
+      for idx in range(n_steps):
+        batch = exp._put_batch(next(exp.eval_iter))
+        scalars = exp._p_eval_step(exp.state.ema_params, batch,
+                                   jnp.int32(idx))
+        out.append(jax.tree.map(float, scalars))  # host sync per batch
+      return out
+
+    exp._run_eval(exp.state.ema_params, 2)  # warm-up: compiles _p_eval_step
+    dt_sync, _ = timed(lambda _: run_synced(n), None)
+    dt_desync, _ = timed(
+        lambda _: exp._run_eval(exp.state.ema_params, n), None)
+    print(json.dumps({
+        'metric': 'train_eval_block_seconds',
+        'num_steps_eval': n, 'batch_size_eval': args.batch_size,
+        'desynced': round(dt_desync, 2), 'per_batch_sync': round(dt_sync, 2),
+        'speedup': round(dt_sync / max(dt_desync, 1e-9), 2)}))
 
   elif args.mode == 'sample':
     # T=1000 ancestral sampling (the training-eval/serving grid path: a
