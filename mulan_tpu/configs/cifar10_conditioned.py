@@ -89,6 +89,11 @@ def get_config():
       steps_per_eval=10_000,
       steps_per_save=10_000,
       profile=False,
+      # Mesh knobs (beyond reference — pmap DP only): fsdp shards the
+      # TrainState ZeRO-3-style over a 2nd mesh axis; tp adds column-
+      # parallel tensor parallelism over a 3rd (parallel/mesh.py).
+      fsdp=1,
+      tp=1,
   )
 
   config.optimizer = d(

@@ -3,13 +3,15 @@
 The reference scales with `jax.pmap('batch')` + `flax_utils.replicate`
 (/root/reference/ldm/experiment.py:89-102, 218) — per-device leading axes,
 host-side unreplicate, NCCL collectives. The TPU-native replacement is a
-1-D (extensible to 2-D data x fsdp) `jax.sharding.Mesh` over all chips with
-`jit` + `NamedSharding`:
+1-D (extensible to 3-D data x fsdp x tensor) `jax.sharding.Mesh` over all
+chips with `jit` + `NamedSharding`:
 
-  * params / EMA / optimizer state: fully replicated,
-  * batches: sharded along the mesh 'data' axis,
-  * gradients: XLA inserts the psum over ICI automatically when the loss is a
-    mean over the sharded batch axis.
+  * params / EMA / optimizer state: fully replicated on the 1-D mesh;
+    sharded over 'fsdp' (ZeRO-3) and/or 'tensor' (column-parallel output
+    features) on the larger meshes,
+  * batches: sharded along 'data' (and 'fsdp'), replicated over 'tensor',
+  * gradients: XLA inserts the psum/reduce-scatter over ICI automatically
+    when the loss is a mean over the sharded batch axis.
 
 No leading device axis anywhere; the same program runs on 1 chip, a v5e pod
 slice, or the 8-virtual-device CPU test mesh unchanged. For multi-host, call
@@ -29,30 +31,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = 'data'
 FSDP_AXIS = 'fsdp'
+TENSOR_AXIS = 'tensor'
 
 
-def create_mesh(devices=None, fsdp: int = 1) -> Mesh:
-  """Device mesh: 1-D ('data',) or, with fsdp > 1, 2-D ('data', 'fsdp').
+def create_mesh(devices=None, fsdp: int = 1, tp: int = 1) -> Mesh:
+  """Device mesh: 1-D ('data',), or up to 3-D ('data', 'fsdp', 'tensor').
 
-  On the 2-D mesh batches shard over BOTH axes (every chip holds a batch
-  shard) while parameters/EMA/optimizer state shard over 'fsdp' only
-  (ZeRO-3-style; XLA inserts the per-op all-gathers and the grad
-  reduce-scatter). fsdp=1 reproduces pure DP — the reference's only
-  strategy (SURVEY section 2.7).
+  Batches shard over 'data' AND 'fsdp' (every chip in those submeshes holds
+  a batch shard) but are REPLICATED over 'tensor'. Parameters/EMA/optimizer
+  state shard over 'fsdp' (ZeRO-3-style) and, with tp > 1, additionally over
+  'tensor' on their output-feature axis (Megatron-style column parallelism —
+  each tensor group computes a channel slice of every conv/dense; XLA/GSPMD
+  inserts the contraction all-reduces and the grad reduce-scatters).
+  fsdp=tp=1 reproduces pure DP — the reference's only strategy (SURVEY
+  section 2.7).
   """
   if devices is None:
     devices = jax.devices()
   devices = np.asarray(devices)
-  if fsdp <= 1:
+  assert len(devices) % (fsdp * tp) == 0, (len(devices), fsdp, tp)
+  shape = [len(devices) // (fsdp * tp)]
+  names = [DATA_AXIS]
+  if fsdp > 1:
+    shape.append(fsdp)
+    names.append(FSDP_AXIS)
+  if tp > 1:
+    shape.append(tp)
+    names.append(TENSOR_AXIS)
+  if len(names) == 1:
     return Mesh(devices, (DATA_AXIS,))
-  assert len(devices) % fsdp == 0, (len(devices), fsdp)
-  return Mesh(devices.reshape(len(devices) // fsdp, fsdp),
-              (DATA_AXIS, FSDP_AXIS))
+  return Mesh(devices.reshape(shape), tuple(names))
 
 
 def _batch_axes(mesh: Mesh):
-  """Batches shard over every mesh axis (data, and fsdp if present)."""
-  return tuple(mesh.axis_names)
+  """Batches shard over data and fsdp; tensor groups see the full batch."""
+  return tuple(a for a in mesh.axis_names if a != TENSOR_AXIS)
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
@@ -62,19 +75,37 @@ def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
   return NamedSharding(mesh, P(*spec))
 
 
-def fsdp_sharding(mesh: Mesh, shape) -> NamedSharding:
-  """Parameter sharding: largest axis divisible by the fsdp size is sharded
-  over 'fsdp'; everything else (and all leaves on a 1-D mesh) replicated."""
-  if FSDP_AXIS not in mesh.axis_names or not shape:
-    return NamedSharding(mesh, P())
-  size = mesh.shape[FSDP_AXIS]
-  candidates = [(dim, i) for i, dim in enumerate(shape) if dim % size == 0]
-  if not candidates:
-    return NamedSharding(mesh, P())
-  _, axis = max(candidates)
+def param_sharding(mesh: Mesh, shape) -> NamedSharding:
+  """Parameter sharding policy for one leaf.
+
+  With a 'tensor' axis, the LAST array axis (output features: Cout of a conv
+  kernel, out-dim of a dense kernel, the feature dim of biases/norm scales)
+  shards over 'tensor' when divisible — the column-parallel convention, so
+  activations come out channel-sharded and GSPMD propagates the layout
+  forward. With an 'fsdp' axis, the largest REMAINING axis divisible by the
+  fsdp size shards over 'fsdp'. Leaves with no divisible axis (and all
+  leaves on a 1-D mesh) stay replicated.
+  """
   spec = [None] * len(shape)
-  spec[axis] = FSDP_AXIS
+  if shape:
+    if TENSOR_AXIS in mesh.axis_names and shape[-1] % mesh.shape[
+        TENSOR_AXIS] == 0:
+      spec[-1] = TENSOR_AXIS
+    if FSDP_AXIS in mesh.axis_names:
+      size = mesh.shape[FSDP_AXIS]
+      candidates = [(dim, i) for i, dim in enumerate(shape)
+                    if spec[i] is None and dim % size == 0]
+      if candidates:
+        _, axis = max(candidates)
+        spec[axis] = FSDP_AXIS
+  if not any(spec):
+    return NamedSharding(mesh, P())
   return NamedSharding(mesh, P(*spec))
+
+
+# Back-compat name (round 2/3 callers/tests): the 2-D data x fsdp policy is
+# the tp=1 special case of param_sharding.
+fsdp_sharding = param_sharding
 
 
 # Param groups whose leaves stay replicated even under FSDP. The gamma
@@ -98,7 +129,7 @@ def _path_replicated(path) -> bool:
 def _leaf_sharding(mesh: Mesh, path, x) -> NamedSharding:
   if _path_replicated(path):
     return NamedSharding(mesh, P())
-  return fsdp_sharding(mesh, jnp_shape(x))
+  return param_sharding(mesh, jnp_shape(x))
 
 
 def shard_state(mesh: Mesh, state):

@@ -45,7 +45,8 @@ class Experiment:
   def __init__(self, config, mesh=None):
     self.config = config
     if mesh is None:
-      mesh = mesh_lib.create_mesh(fsdp=config.training.get('fsdp', 1))
+      mesh = mesh_lib.create_mesh(fsdp=config.training.get('fsdp', 1),
+                                  tp=config.training.get('tp', 1))
     self.mesh = mesh
     self.model_config = model_config_from_dict(dict(config.model))
     self.model = build_model(config.vdm_type, self.model_config)
