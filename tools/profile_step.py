@@ -2,7 +2,7 @@
 
 Usage (on the real TPU):
   python tools/profile_step.py [--substeps 10] [--logdir /tmp/prof]
-      [--attention] [--ldm] [--stacked] [--fsdp N]
+      [--attention] [--ldm] [--stacked] [--fsdp N] [--tp N]
 
 Runs one warmup super-step, traces the second, then parses the xplane proto
 (via tensorflow's bundled protobuf) and prints per-op-category and top-op
@@ -56,6 +56,8 @@ def capture(args) -> str:
     config.model.dropout_mask_batch = True
   if args.fsdp > 1:
     config.training.fsdp = args.fsdp
+  if args.tp > 1:
+    config.training.tp = args.tp
 
   exp = Experiment(config)
   state = exp._put_state(exp.state)
@@ -181,6 +183,7 @@ def main():
   parser.add_argument('--gamma_high', action='store_true')
   parser.add_argument('--mask_batch', action='store_true')
   parser.add_argument('--fsdp', type=int, default=1)
+  parser.add_argument('--tp', type=int, default=1)
   parser.add_argument('--parse_only', default='',
                       help='skip capture; parse this logdir')
   parser.add_argument('--top', type=int, default=40)
