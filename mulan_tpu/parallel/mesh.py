@@ -69,7 +69,7 @@ def _batch_axes(mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh, batch_axis: int = 0) -> NamedSharding:
-  """Shard the given array axis over all mesh axes."""
+  """Shard the given array axis over the batch mesh axes (data, fsdp)."""
   spec = [None] * (batch_axis + 1)
   spec[batch_axis] = _batch_axes(mesh)
   return NamedSharding(mesh, P(*spec))
