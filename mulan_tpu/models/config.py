@@ -58,7 +58,16 @@ class ModelConfig:
   latent_k: int = 15
   latent_type: str = 'topk'  # 'topk' | 'gumbel' | 'gaussian'
   topk_noise_type: str = 'gamma'  # 'gamma' | 'gumbel'
-  reparam_type: str = 'true'  # 'true' => learned latent; else one-hot labels
+  # Two reference meanings (the field is shared across the zoo):
+  #   * MuLAN models: 'true' => learned latent embedding; anything else =>
+  #     one_hot(labels) embeddings (model_mulan_epsilon.py:301-306).
+  #   * scalar VDM: output parameterization — 'input' => the score model
+  #     predicts x-hat (discrete-time weighting model_vdm.py:167-168 and the
+  #     sampler's x-hat->eps-hat conversion :197-201); any other value =>
+  #     the model predicts eps (the reference field default 'noise',
+  #     model_vdm.py:67; the reference raises NameError for values outside
+  #     {'noise','input'} on those paths — here they fall through to 'noise').
+  reparam_type: str = 'true'
   z_conditioning: bool = True
   condition: str = 'input'
 

@@ -85,14 +85,21 @@ class VDM(nn.Module):
     var_t = nn.sigmoid(g_t)[:, None, None, None]
     eps = jax.random.normal(self.make_rng('sample'), f.shape)
     z_t = jnp.sqrt(1.0 - var_t) * f + jnp.sqrt(var_t) * eps
-    eps_hat = self.score_model(z_t, g_t, conditioning[:, None],
-                               deterministic)
-    mse = jnp.sum(jnp.square(eps - eps_hat), axis=(1, 2, 3))
+    model_output = self.score_model(z_t, g_t, conditioning[:, None],
+                                    deterministic)
+    # NOTE: the reference computes the MSE against eps for BOTH
+    # parameterizations (model_vdm.py:156-168) — under 'input' only the
+    # discrete-time WEIGHTING changes to the x-MSE weight
+    # SNR(s)-SNR(t) = exp(-g_t)*expm1(g_t-g_s); reproduced exactly.
+    mse = jnp.sum(jnp.square(eps - model_output), axis=(1, 2, 3))
     if T == 0:
       loss_diff = 0.5 * g_t_grad * mse
     else:
       g_s = self.gamma(t - 1.0 / T)
-      loss_diff = 0.5 * T * jnp.expm1(g_t - g_s) * mse
+      if cfg.reparam_type == 'input':
+        loss_diff = 0.5 * T * jnp.exp(-g_t) * jnp.expm1(g_t - g_s) * mse
+      else:
+        loss_diff = 0.5 * T * jnp.expm1(g_t - g_s) * mse
 
     return ELBOOutput(loss_recon=loss_recon, loss_klz=loss_klz,
                       loss_diff=loss_diff, var_0=var_0, var_1=var_1)
@@ -107,15 +114,30 @@ class VDM(nn.Module):
 
     g_s = self.gamma(jnp.full((1,), s, jnp.float32))[0]
     g_t = self.gamma(jnp.full((1,), t, jnp.float32))[0]
-    eps_hat = self.score_model(
+    model_output = self.score_model(
         z_t, g_t * jnp.ones((z_t.shape[0],)), conditioning[:, None],
         deterministic=True)
+    eps_hat = self._to_eps_hat(model_output, z_t, g_t)
     a = nn.sigmoid(-g_s)
     b = nn.sigmoid(-g_t)
     c = -jnp.expm1(g_s - g_t)
     sigma_t = jnp.sqrt(nn.sigmoid(g_t))
     return (jnp.sqrt(a / b) * (z_t - sigma_t * c * eps_hat)
             + jnp.sqrt((1.0 - a) * c) * eps)
+
+  def _to_eps_hat(self, model_output, z_t, g_t):
+    """Interpret the score model output under `reparam_type`.
+
+    'input': the model predicts x-hat; convert to eps-hat via
+    eps = (z_t - alpha_t * x-hat) / sigma_t (model_vdm.py:197-201).
+    Anything else: the model already predicts eps.
+    """
+    if self.config.reparam_type != 'input':
+      return model_output
+    var_t = jnp.asarray(nn.sigmoid(g_t))
+    var_t = var_t.reshape(var_t.shape
+                          + (1,) * (model_output.ndim - var_t.ndim))
+    return (z_t - jnp.sqrt(1.0 - var_t) * model_output) / jnp.sqrt(var_t)
 
   def conditional_sample(self, i, T, z_t, embedding, conditioning, rng):
     """API-uniform with MuLAN; the scalar-gamma VDM has no latent, so the
@@ -149,8 +171,13 @@ class VDM(nn.Module):
     t = t * jnp.ones((xt.shape[0],), xt.dtype)
     drift, diffusion_sqr = self.sde(xt, t)
     g_t = self.gamma(t)
-    eps_hat = self.score_model(xt, g_t, embeddings[:, :1],
-                               deterministic=True)
+    model_output = self.score_model(xt, g_t, embeddings[:, :1],
+                                    deterministic=True)
+    # The reference's reverse_ode treats the output as eps-hat UNCONDITIONALLY
+    # (model_vdm.py:243-259 has no reparam branch — under 'input' its PF-ODE
+    # would integrate x-hat as if it were eps-hat). Here the 'input'
+    # conversion is applied, a documented improvement mirroring the sampler.
+    eps_hat = self._to_eps_hat(model_output, xt, g_t)
     score_hat = -eps_hat / jnp.sqrt(nn.sigmoid(g_t))[:, None, None, None]
     return drift - 0.5 * diffusion_sqr * score_hat
 
