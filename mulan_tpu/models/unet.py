@@ -28,6 +28,7 @@ from mulan_tpu.models.config import ModelConfig
 from mulan_tpu.models.layers import (AttnBlock, GroupNormF32, ResnetBlock,
                                      base2_fourier_features, maybe_remat,
                                      timestep_embedding)
+from mulan_tpu.parallel.mesh import constrain_activation_channels
 
 
 class UNet(nn.Module):
@@ -112,28 +113,34 @@ class UNet(nn.Module):
       if cfg.remat_alt_blocks and n_res[0] % 2 == 0:
         cls = alt_block_cls
       n_res[0] += 1
-      return cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
-                 hw_dropout=cfg.use_pallas, name=name)(
-                     h, cond, deterministic, mask)
+      h = cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
+              hw_dropout=cfg.use_pallas, name=name)(
+                  h, cond, deterministic, mask)
+      # Under tensor parallelism, pin the channel-sharded layout that the
+      # column-parallel conv kernels produce (identity on tp=1 meshes).
+      return constrain_activation_channels(h)
 
     for i in range(n_layers):
       h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)
       if cfg.with_attention:
-        h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
-                     name=f'down_attn_{i}')(h)
+        h = constrain_activation_channels(
+            attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                     name=f'down_attn_{i}')(h))
       hs.append(h)
 
     h = res_block('mid_block_1', hs[-1])
-    h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
-                 name='mid_attn_1')(h)
+    h = constrain_activation_channels(
+        attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                 name='mid_attn_1')(h))
     h = res_block('mid_block_2', h)
 
     for i in range(n_layers + 1):
       h = res_block(f'up_block_{i}',
                     jnp.concatenate([h, hs.pop()], axis=-1), out_ch=n_embd)
       if cfg.with_attention:
-        h = attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
-                     name=f'up_attn_{i}')(h)
+        h = constrain_activation_channels(
+            attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
+                     name=f'up_attn_{i}')(h))
     assert not hs
     if masks is not None:
       assert block_idx[0] == masks.shape[0], (block_idx[0], masks.shape)

@@ -108,6 +108,48 @@ def param_sharding(mesh: Mesh, shape) -> NamedSharding:
 fsdp_sharding = param_sharding
 
 
+# --------------------------------------------------------------------------
+# Tensor-parallel activation pinning
+# --------------------------------------------------------------------------
+#
+# Column-parallel parameter placement alone leaves GSPMD free to re-replicate
+# activations between layers (all-gather after every conv), silently
+# degenerating tp>1 to replicated compute. The UNet calls
+# `constrain_activation_channels` on every block output; when a mesh with a
+# 'tensor' axis is installed here, that inserts a with_sharding_constraint
+# pinning the channel (last) axis to 'tensor', so the channel-sharded layout
+# survives the whole UNet. With no mesh installed (the default, and any mesh
+# without a 'tensor' axis) it is an identity — model code stays mesh-agnostic.
+#
+# Process-global by design: the constraint must be visible at TRACE time
+# inside arbitrarily nested jits (train scan, eval, sampler fori_loop), where
+# threading an argument through flax module signatures would leak parallelism
+# policy into model code. Experiments install their mesh at __init__; building
+# two live Experiments on DIFFERENT tp meshes in one process is unsupported
+# (the last installed mesh wins at the next trace).
+_ACTIVATION_MESH: Optional[Mesh] = None
+
+
+def set_activation_mesh(mesh: Optional[Mesh]) -> None:
+  global _ACTIVATION_MESH
+  if mesh is not None and TENSOR_AXIS in mesh.axis_names:
+    _ACTIVATION_MESH = mesh
+  else:
+    _ACTIVATION_MESH = None
+
+
+def constrain_activation_channels(x):
+  """Pin the last (channel/feature) axis of an activation to 'tensor'."""
+  mesh = _ACTIVATION_MESH
+  if mesh is None:
+    return x
+  tp = mesh.shape[TENSOR_AXIS]
+  if x.ndim == 0 or x.shape[-1] % tp != 0:
+    return x
+  spec = P(*((None,) * (x.ndim - 1)), TENSOR_AXIS)
+  return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
 # Param groups whose leaves stay replicated even under FSDP. The gamma
 # schedule network is tiny next to the UNet but its outputs feed the
 # dgamma/dt-weighted loss with (B, n_pixels) intermediates; sharding its

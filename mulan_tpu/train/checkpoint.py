@@ -58,11 +58,32 @@ class CheckpointManager:
     return flax.serialization.from_state_dict(state, restored)
 
   def restore_dict(self, step: Optional[int] = None) -> dict:
-    """Raw dict restore (eval / partial warm-start paths)."""
+    """Raw HOST (numpy) dict restore (eval / partial warm-start paths).
+
+    Restores every leaf as numpy regardless of the mesh the checkpoint was
+    saved on: an un-templated StandardRestore reconstructs the SAVED
+    NamedShardings, which fails when the eval topology differs from the
+    training mesh (e.g. an fsdp-sharded pod save evaluated on one chip).
+    Callers re-place the tree (EvalExperiment device_puts the EMA params
+    replicated; partial warm-start merges into a fresh host state)."""
     if step is None:
       step = self.latest_step()
     assert step is not None, f'no checkpoint found in {self._dir}'
-    return self._mngr.restore(step, args=ocp.args.StandardRestore())
+    path = os.path.join(self._dir, f'ckpt_{step}', 'default')
+    try:
+      import numpy as np
+      ckptr = ocp.PyTreeCheckpointer()
+      meta_tree = ckptr.metadata(path).item_metadata.tree
+      restore_args = jax.tree.map(
+          lambda _: ocp.type_handlers.RestoreArgs(restore_type=np.ndarray),
+          meta_tree)
+      return ckptr.restore(
+          path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+    except Exception:  # non-pytree/legacy layout: the topology-bound path
+      logging.warning('restore_dict: numpy restore failed for %s; falling '
+                      'back to StandardRestore with saved shardings', path,
+                      exc_info=True)
+      return self._mngr.restore(step, args=ocp.args.StandardRestore())
 
   def close(self):
     self._mngr.close()

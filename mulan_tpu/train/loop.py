@@ -48,6 +48,11 @@ class Experiment:
       mesh = mesh_lib.create_mesh(fsdp=config.training.get('fsdp', 1),
                                   tp=config.training.get('tp', 1))
     self.mesh = mesh
+    # With a 'tensor' mesh axis, UNet block activations pin their channel
+    # axis to it (parallel/mesh.py constrain_activation_channels); identity
+    # otherwise. Installed process-globally so nested jits see it at trace
+    # time.
+    mesh_lib.set_activation_mesh(mesh)
     self.model_config = model_config_from_dict(dict(config.model))
     self.model = build_model(config.vdm_type, self.model_config)
 
@@ -153,7 +158,8 @@ class Experiment:
       return jax.lax.scan(train_step, state, superbatch)
 
     # Pin the output state layout to the input layout (replicated on a 1-D
-    # mesh; fsdp-sharded on a 2-D mesh) so the scanned state never migrates.
+    # mesh; fsdp- and/or tensor-sharded on the 2-D/3-D meshes) so the
+    # scanned state never migrates.
     out_shardings = (mesh_lib.state_shardings(self.mesh, self.state),
                      self._replicated)
     self._p_superstep = jax.jit(superstep, donate_argnums=(0,),
@@ -228,11 +234,15 @@ class Experiment:
     logging.info('=== train_and_evaluate: %s ===', workdir)
 
     ckpt = ckpt_lib.CheckpointManager(os.path.join(workdir, 'checkpoints'))
-    state = self.state
+    # Place the state on the mesh BEFORE restoring: the restore template then
+    # carries each leaf's NamedSharding, so orbax reassembles sharded
+    # (fsdp/tp) multi-host state directly onto the right devices — no host
+    # gather anywhere (the reference's MultihostCheckpoint restores a fully
+    # replicated host copy, experiment.py:211-218).
+    state = self._put_state(self.state)
     if ckpt.latest_step() is not None:
       state = ckpt.restore(state)
     initial_step = int(state.step)
-    state = self._put_state(state)
 
     writer = create_writer(workdir, jax.process_index())
     if initial_step == 0 and jax.process_index() == 0:
@@ -282,10 +292,17 @@ class Experiment:
           writer.write_images(step, {'samples': samples[None]})
 
       if step % config.steps_per_save == 0 or is_last:
-        ckpt.save(step, jax.device_get(state))
+        # Save the sharded jax.Arrays directly: orbax writes each host's
+        # shards in place (multi-host coordinated). A jax.device_get here
+        # would RAISE for fsdp/tp>1 across processes (non-addressable
+        # arrays) and needlessly gather the full state onto every host even
+        # when it would not.
+        ckpt.save(step, state)
     ckpt.wait()
     writer.flush()
-    self.state = jax.device_get(state)
+    # Keep the mesh-placed state (callers read replicated leaves like .step
+    # directly; sharded leaves stay global arrays).
+    self.state = state
 
   def _run_eval(self, ema_params, num_steps_eval: int):
     # Dispatch every eval step, THEN materialize once: a per-batch float()

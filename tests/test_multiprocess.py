@@ -25,7 +25,7 @@ def _free_port() -> int:
     return s.getsockname()[1]
 
 
-def _run_pod(workdir: str):
+def _run_pod(workdir: str, mode: str = 'train_eval'):
   coordinator = f'127.0.0.1:{_free_port()}'
   env = dict(os.environ)
   env.pop('XLA_FLAGS', None)  # worker sets device count via jax config
@@ -37,7 +37,8 @@ def _run_pod(workdir: str):
          '--process_id', str(pid),
          '--num_processes', str(NUM_PROCESSES),
          '--coordinator', coordinator,
-         '--workdir', workdir],
+         '--workdir', workdir,
+         '--mode', mode],
         cwd=REPO_ROOT, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
 
@@ -91,3 +92,34 @@ def test_two_process_train_eval_checkpoint(tmp_path):
     assert proc.returncode == 0, (
         f'process {pid} failed (rc={proc.returncode}):\n{out[-4000:]}')
     assert f'MULTIPROCESS_OK process={pid}' in out, out[-4000:]
+
+
+def _digest_line(out: str) -> str:
+  lines = [l for l in out.splitlines() if l.startswith('RESUME_DIGEST ')]
+  assert len(lines) == 1, out[-4000:]
+  return lines[0]
+
+
+def test_two_process_fsdp_sharded_checkpoint_resume(tmp_path):
+  """fsdp=2 across 2 REAL processes: params are cross-host sharded
+  (jax.device_get would raise), orbax saves the sharded state without
+  gathering, and train -> save -> restore -> train equals an uninterrupted
+  run elementwise (multiprocess_worker.py `_fsdp_resume_mode`)."""
+  for attempt in range(2):  # same transport-flake retry as the test above
+    procs, outputs = _run_pod(str(tmp_path / f'workdir{attempt}'),
+                              mode='fsdp_resume')
+    ok = all(p.returncode == 0 for p in procs) and all(
+        f'FSDP_RESUME_OK process={pid}' in out
+        for pid, out in enumerate(outputs))
+    if ok:
+      # replicated-gathered digests must agree across processes
+      assert _digest_line(outputs[0]) == _digest_line(outputs[1]), outputs
+      return
+    transport_flake = any('Connect timeout' in out or
+                          'initialization failed' in out for out in outputs)
+    if not transport_flake:
+      break
+  for pid, (proc, out) in enumerate(zip(procs, outputs)):
+    assert proc.returncode == 0, (
+        f'process {pid} failed (rc={proc.returncode}):\n{out[-4000:]}')
+    assert f'FSDP_RESUME_OK process={pid}' in out, out[-4000:]

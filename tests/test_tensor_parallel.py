@@ -6,6 +6,8 @@ NamedSharding, collectives inserted by GSPMD. Semantics must be IDENTICAL to
 pure DP — these tests pin that, plus the sharding policy itself.
 """
 
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +72,47 @@ def test_tp_training_matches_dp(tmp_path):
   jax.tree.map(
       lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
       params_tp, params_dp)
+
+
+def test_tp_activations_stay_channel_sharded():
+  """Column-parallel placement alone lets GSPMD re-replicate activations
+  between layers (tp>1 silently degenerating to replicated compute). The
+  UNet pins every block output's channel axis to 'tensor'
+  (mesh.constrain_activation_channels); this inspects the train step's IR:
+
+    1. the lowered module carries >= one sharding constraint per ResNet
+       block with the LAST axis on 'tensor';
+    2. the compiled per-device module computes convolutions with HALVED
+       output channels — the tensor axis genuinely reduces per-chip work.
+  """
+  config = tiny_synthetic.get_config()
+  config.training.fsdp = 1
+  config.training.tp = 2
+  config.model.sm_pdrop = 0.0
+  exp = Experiment(config)
+  state = exp._put_state(exp.state)
+  batch = exp._put_superbatch(next(exp.train_iter))
+  lowered = exp._p_superstep.lower(state, batch)
+
+  txt = lowered.as_text()
+  # shardy ('sharding_constraint ... {"tensor"}]') or legacy GSPMD
+  # ('custom_call @Sharding' with an mhlo.sharding devices=[1,1,1,2] attr)
+  sites = [s for s in re.findall(r'sharding_constraint.*', txt)
+           if '"tensor"' in s.rsplit(',', 1)[-1]]
+  if not sites:
+    sites = [s for s in re.findall(r'custom_call @Sharding.*', txt)
+             if 'devices=' in s]
+  n_blocks = 2 * config.model.sm_n_layer + 3  # score UNet res blocks / fwd
+  assert len(sites) >= n_blocks, (len(sites), n_blocks)
+
+  ctxt = lowered.compile().as_text()
+  per_dev_batch = config.training.batch_size_train // (
+      exp.mesh.shape['data'])
+  half_ch = config.model.sm_n_embd // 2
+  img = config.model.image_size
+  halved = re.findall(
+      rf'f32\[{per_dev_batch},{img},{img},{half_ch}\]\S* convolution', ctxt)
+  assert halved, 'no channel-halved convolutions in the partitioned module'
 
 
 def test_tp_params_actually_sharded():
