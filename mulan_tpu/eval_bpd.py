@@ -40,6 +40,14 @@ flags.DEFINE_bool('deterministic_noise', False,
                   'controller) and fresh per importance sample; under '
                   '--solver=rk4 (fixed grid) the reference default '
                   'applies: redraw per RHS time unless this flag is set.')
+flags.DEFINE_enum('redraw_noise', 'auto', ['auto', 'true', 'false'],
+                  'Per-RHS Hutchinson probe redraw. auto = solver default '
+                  '(dopri5: fixed within a solve; rk4: redraw unless '
+                  '--deterministic_noise). true with --solver=dopri5 '
+                  'reproduces the reference\'s default estimator variant '
+                  '(fresh probe per RHS call under an adaptive controller, '
+                  'notebook_utils.py:233-261) — expect a higher NFE for the '
+                  'same tolerances.')
 flags.DEFINE_string('hutchinson_type', 'Rademacher',
                     'Hutchinson noise type: Rademacher/Gaussian.')
 flags.DEFINE_string('dequantization', 'tn', 'tn / uniform dequantization.')
@@ -108,7 +116,9 @@ def main(argv):
         first_step=FLAGS.first_step, max_steps=FLAGS.max_steps,
         on_solver_failure=FLAGS.on_solver_failure,
         solver=FLAGS.solver, rk4_steps=FLAGS.rk4_steps,
-        is_batch=FLAGS.is_batch)
+        is_batch=FLAGS.is_batch,
+        redraw_noise={'auto': None, 'true': True,
+                      'false': False}[FLAGS.redraw_noise])
   else:
     raise ValueError(f'unknown --bpd_eval_method: {FLAGS.bpd_eval_method!r}')
 

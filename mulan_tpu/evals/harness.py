@@ -103,12 +103,18 @@ class EvalExperiment(Experiment):
 
   def test(self, loader):
     """Average eval scalars over a finite loader
-    (notebook_utils.py:138-154)."""
+    (notebook_utils.py:138-154).
+
+    Dispatch every batch, THEN materialize once: a per-batch float()
+    conversion would sync the host into each dispatch's round-trip
+    (measured 19.92s -> 1.15s per 100 batches for the identical pattern in
+    Experiment._run_eval, docs/PERF.md)."""
     all_scalars = []
     for idx, batch in enumerate(loader):
-      scalars = self._p_eval_step(self.params, self._put_batch(batch),
-                                  jnp.int32(idx))
-      all_scalars.append(jax.tree.map(float, scalars))
+      all_scalars.append(self._p_eval_step(self.params,
+                                           self._put_batch(batch),
+                                           jnp.int32(idx)))
+    all_scalars = jax.device_get(all_scalars)
     return {
         'eval_' + k: float(np.mean([s[k] for s in all_scalars]))
         for k in all_scalars[0]

@@ -18,11 +18,15 @@ Numerics vs the reference:
     Forward-mode jvp computes the same scalar but cannot differentiate
     through custom_vjp kernels (flash attention), which the drift uses when
     `use_pallas` is on;
-  * Hutchinson noise is drawn once per solve (the reference's
-    `--deterministic_noise` mode). Redrawing per RHS evaluation makes the
-    RHS non-deterministic, which an adaptive controller on device would see
-    as stiffness; across `num_is` importance samples each solve gets fresh
-    noise, so the trace estimator stays unbiased with variance averaging.
+  * Hutchinson noise is drawn once per solve BY DEFAULT under the adaptive
+    solver (the reference's `--deterministic_noise` mode). Redrawing per
+    RHS evaluation makes the RHS non-deterministic, which an adaptive
+    controller on device sees as stiffness; across `num_is` importance
+    samples each solve gets fresh noise, so the trace estimator stays
+    unbiased with variance averaging. The reference's default variant
+    (fresh probe per RHS call, notebook_utils.py:233-261) is available for
+    both solvers: rk4 redraws by default, and `redraw_noise=True`
+    (`--redraw_noise`) opts dopri5 in explicitly.
   * the truncated-normal dequantization constants (Z = 0.9974613 from
     Eqn. 28 of openreview jVR2fF8x8x; the -0.01522 single-sample offset)
     are kept verbatim; the reference hard-codes gt = -13.3 where this code
@@ -208,7 +212,8 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
                  first_step: float = 0.01, max_steps: int = 5000,
                  on_solver_failure: str = 'raise',
                  solver: str = 'dopri5', rk4_steps: int = 128,
-                 is_batch: int = 0) -> float:
+                 is_batch: int = 0,
+                 redraw_noise: Optional[bool] = None) -> float:
   """Importance-weighted exact-NLL BPD over the eval split
   (notebook_utils.py:461-531), multi-chip AND multi-host.
 
@@ -230,11 +235,18 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
 
   `deterministic_noise` follows the reference CLI: the reference redraws
   Hutchinson noise per RHS evaluation unless this flag fixes it
-  (notebook_utils.py:233-261). Under `solver='dopri5'` the noise is ALWAYS
-  fixed within a solve regardless (an adaptive controller reads a
-  stochastic RHS as stiffness) and fresh per IS sample; under
-  `solver='rk4'` (fixed grid — no controller) the reference default
+  (notebook_utils.py:233-261). Under `solver='dopri5'` the DEFAULT keeps
+  the noise fixed within a solve (an adaptive controller reads a
+  stochastic RHS as stiffness — the probe variance enters the embedded
+  error estimate and inflates step rejections) and fresh per IS sample;
+  under `solver='rk4'` (fixed grid — no controller) the reference default
   applies: noise is redrawn per RHS time unless deterministic_noise=True.
+  `redraw_noise` overrides that policy explicitly (None = the defaults
+  above): `redraw_noise=True` with dopri5 reproduces the reference's
+  default estimator variant (fresh probe per RHS call under an adaptive
+  controller, scipy RK45, notebook_utils.py:233-261) for A/B validation —
+  expect a higher NFE for the same tolerances, and note the solution the
+  controller accepts depends on the probe draws.
 
   Every solve's `success` flag is checked. With on_solver_failure='raise'
   (default) the flags are ALSO materialized incrementally during dispatch:
@@ -256,9 +268,11 @@ def eval_bpd_ode(experiment, config, *, hutchinson_type: str = 'Rademacher',
   """
   if on_solver_failure not in ('raise', 'warn'):
     raise ValueError(f'on_solver_failure: {on_solver_failure!r}')
-  # dopri5 always fixes the noise within a solve (see docstring); rk4
-  # honors the reference default (redraw) unless --deterministic_noise.
-  redraw_noise = (solver == 'rk4') and not deterministic_noise
+  # Default noise policy (see docstring): dopri5 fixes the probe within a
+  # solve; rk4 honors the reference default (redraw) unless
+  # --deterministic_noise. An explicit redraw_noise overrides both.
+  if redraw_noise is None:
+    redraw_noise = (solver == 'rk4') and not deterministic_noise
   model = experiment.model
   cfg = experiment.model_config
   if params is None:

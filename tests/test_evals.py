@@ -197,6 +197,24 @@ def test_rk4_redraw_noise_is_active_and_consistent(trained_tiny):
   assert abs(redraw - fixed) < 0.5, (redraw, fixed)
 
 
+def test_dopri5_redraw_noise_opt_in(trained_tiny):
+  """`redraw_noise=True` under the ADAPTIVE solver reproduces the
+  reference's default estimator variant (fresh Hutchinson probe per RHS
+  call under an adaptive controller, notebook_utils.py:233-261). A/B vs
+  the fixed-noise default on identical rng: the opt-in must change the
+  estimate (path active) while agreeing within MC tolerance; defaults
+  stay fixed-noise (redraw_noise=None == redraw_noise=False)."""
+  exp, config, _ = trained_tiny
+  kw = dict(num_is=2, max_batches=1, rtol=1e-3, atol=1e-3)
+  fixed = evals.eval_bpd_ode(exp, config, **kw)
+  fixed_explicit = evals.eval_bpd_ode(exp, config, redraw_noise=False, **kw)
+  redraw = evals.eval_bpd_ode(exp, config, redraw_noise=True, **kw)
+  assert fixed == fixed_explicit  # default policy unchanged
+  assert np.isfinite(redraw)
+  assert redraw != fixed
+  assert abs(redraw - fixed) < 0.5, (redraw, fixed)
+
+
 def test_ode_failure_raises_incrementally(trained_tiny, monkeypatch):
   """on_solver_failure='raise' must abort within ~4 batches of dispatched
   work, not after the whole split is queued: the loader must NOT be
