@@ -50,6 +50,10 @@ def main():
   parser.add_argument('--mask_batch', action='store_true',
                       help='dropout_mask_batch=True (all block masks from '
                            'one pallas_call)')
+  parser.add_argument('--fused_gn', action='store_true',
+                      help='fused_gn_swish=True (one-pass Pallas GN+swish '
+                           'prologue per ResNet block, '
+                           'ops/groupnorm_swish.py)')
   parser.add_argument('--substeps', type=int, default=50)
   args = parser.parse_args()
 
@@ -112,6 +116,9 @@ def main():
   if args.mask_batch:
     config.model.dropout_mask_batch = True
     variant += '_mask_batch'
+  if args.fused_gn:
+    config.model.fused_gn_swish = True
+    variant += '_fused_gn'
 
   n_chips = len(jax.devices())
   exp = Experiment(config)

@@ -108,6 +108,11 @@ class ModelConfig:
   # +n_blocks * activation-size HBM residual for ~130 fewer kernel launches
   # per train step (docs/NEXT.md item 2). Only active with use_pallas.
   dropout_mask_batch: bool = False
+  # SURVEY §7 north-star kernel #1 prototype: compute each ResNet block's
+  # GN -> swish prologue as ONE Pallas pass (MXU-matmul group stats +
+  # in-VMEM normalize/swish, ops/groupnorm_swish.py) instead of the XLA
+  # loop-fusion chain. Measured accept/reject in docs/PERF.md round 5.
+  fused_gn_swish: bool = False
 
   @property
   def remat_blocks(self) -> bool:

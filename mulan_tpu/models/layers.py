@@ -49,6 +49,18 @@ def num_groups_for(channels: int, max_groups: int = 32) -> int:
   return math.gcd(channels, max_groups)
 
 
+class _ScaleBias(nn.Module):
+  """Parameter holder matching nn.GroupNorm's tree ({'scale', 'bias'}) so
+  the fused-kernel path keeps checkpoint-identical parameter paths."""
+
+  features: int
+
+  @nn.compact
+  def __call__(self):
+    return (self.param('scale', nn.initializers.ones, (self.features,)),
+            self.param('bias', nn.initializers.zeros, (self.features,)))
+
+
 class GroupNormF32(nn.Module):
   """GroupNorm: fp32 statistics, `dtype` elementwise compute.
 
@@ -57,13 +69,32 @@ class GroupNormF32(nn.Module):
   bf16 activations straight through keeps full statistic precision WITHOUT
   materializing an fp32 copy of the activation — an explicit astype(f32) here
   cost ~20% of the train step in layout-change copies (profiled on v5e).
+
+  `fused_swish=True` returns swish(gn(x)) via the one-pass Pallas kernel
+  (ops/groupnorm_swish.py) when the shape qualifies (falls back to the
+  unfused composition otherwise); parameters live at the identical
+  'GroupNorm_0/{scale,bias}' path either way.
   """
 
   dtype: jnp.dtype = jnp.float32
+  fused_swish: bool = False
 
   @nn.compact
   def __call__(self, x):
     c = x.shape[-1]
+    if self.fused_swish:
+      on_tpu = jax.default_backend() == 'tpu'
+      # Mosaic wants (W, C) tiles of (8, 128); interpret mode (CPU tests)
+      # has no such constraint.
+      if x.ndim == 4 and (not on_tpu
+                          or (c % 128 == 0 and x.shape[2] % 8 == 0)):
+        from mulan_tpu.ops.groupnorm_swish import fused_gn_swish
+        scale, bias = _ScaleBias(c, name='GroupNorm_0')()
+        return fused_gn_swish(x, scale, bias, num_groups_for(c), 1e-6,
+                              not on_tpu)
+      return nn.swish(
+          nn.GroupNorm(num_groups=num_groups_for(c), dtype=self.dtype,
+                       param_dtype=jnp.float32)(x.astype(self.dtype)))
     return nn.GroupNorm(num_groups=num_groups_for(c), dtype=self.dtype,
                         param_dtype=jnp.float32)(x.astype(self.dtype))
 
@@ -140,13 +171,19 @@ class ResnetBlock(nn.Module):
   pdrop: float = 0.0
   dtype: jnp.dtype = jnp.float32
   hw_dropout: bool = False  # Pallas hardware-PRNG dropout (ops/dropout.py)
+  fused_gn: bool = False    # one-pass GN+swish kernel (ops/groupnorm_swish)
+
+  def _gn_swish(self, h):
+    if self.fused_gn:
+      return GroupNormF32(dtype=self.dtype, fused_swish=True)(h)
+    return nn.swish(GroupNormF32(dtype=self.dtype)(h))
 
   @nn.compact
   def __call__(self, x, cond, deterministic: bool = True,
                dropout_mask=None):
     out_ch = x.shape[-1] if self.out_ch is None else self.out_ch
 
-    h = nn.swish(GroupNormF32(dtype=self.dtype)(x))
+    h = self._gn_swish(x)
     h = nn.Conv(out_ch, (3, 3), dtype=self.dtype, name='conv1')(h)
     if cond is not None:
       proj = nn.Dense(out_ch, use_bias=False, dtype=self.dtype,
@@ -157,7 +194,7 @@ class ResnetBlock(nn.Module):
       else:                         # (B, H, W, D): per-pixel bias
         assert proj.shape == h.shape, (proj.shape, h.shape)
         h = h + proj
-    h = nn.swish(GroupNormF32(dtype=self.dtype)(h))
+    h = self._gn_swish(h)
     if dropout_mask is not None:    # pre-generated (batched) pre-scaled mask
       assert dropout_mask.shape == h.shape, (dropout_mask.shape, h.shape)
       h = h * dropout_mask.astype(h.dtype)

@@ -114,8 +114,8 @@ class UNet(nn.Module):
         cls = alt_block_cls
       n_res[0] += 1
       h = cls(out_ch=out_ch, pdrop=cfg.sm_pdrop, dtype=dtype,
-              hw_dropout=cfg.use_pallas, name=name)(
-                  h, cond, deterministic, mask)
+              hw_dropout=cfg.use_pallas, fused_gn=cfg.fused_gn_swish,
+              name=name)(h, cond, deterministic, mask)
       # Under tensor parallelism, pin the channel-sharded layout that the
       # column-parallel conv kernels produce (identity on tp=1 meshes).
       return constrain_activation_channels(h)

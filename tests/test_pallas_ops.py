@@ -89,3 +89,91 @@ def test_mulan_elbo_with_pallas_flag_matches_xla(tiny_config, rng):
                              atol=1e-3)
   np.testing.assert_allclose(np.asarray(o_p.loss_diff),
                              np.asarray(o_x.loss_diff), rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm+swish (ops/groupnorm_swish.py — SURVEY §7 north-star #1)
+# ---------------------------------------------------------------------------
+
+def _gn_swish_flax(x, scale, bias, dtype):
+  """Today's production composition: nn.swish(GroupNormF32(dtype)(x))."""
+  from flax import linen as nn
+  from mulan_tpu.models.layers import num_groups_for
+  gn = nn.GroupNorm(num_groups=num_groups_for(x.shape[-1]), dtype=dtype,
+                    param_dtype=jnp.float32)
+  out = gn.apply({'params': {'scale': scale, 'bias': bias}},
+                 x.astype(dtype))
+  return jax.nn.swish(out)
+
+
+@pytest.mark.parametrize('dtype', [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize('shape', [(2, 8, 8, 128), (3, 4, 8, 32)])
+def test_fused_gn_swish_matches_flax(rng, dtype, shape):
+  from mulan_tpu.models.layers import num_groups_for
+  from mulan_tpu.ops.groupnorm_swish import fused_gn_swish
+  r1, r2, r3 = jax.random.split(rng, 3)
+  x = (2.0 * jax.random.normal(r1, shape)).astype(dtype)
+  c = shape[-1]
+  scale = 1.0 + 0.1 * jax.random.normal(r2, (c,))
+  bias = 0.1 * jax.random.normal(r3, (c,))
+  want = _gn_swish_flax(x, scale, bias, dtype)
+  got = fused_gn_swish(x, scale, bias, num_groups_for(c), 1e-6, True)
+  assert got.dtype == x.dtype
+  # bf16: the kernel keeps the normalize/affine/swish chain in f32 and
+  # casts ONCE at the end; flax casts to bf16 before the (XLA) swish — one
+  # bf16 ulp of headroom at |y|~4.
+  tol = dict(rtol=1e-5, atol=1e-5) if dtype == jnp.float32 else dict(
+      rtol=0.02, atol=0.05)
+  np.testing.assert_allclose(np.asarray(got, np.float32),
+                             np.asarray(want, np.float32), **tol)
+
+
+def test_fused_gn_swish_gradients_match(rng):
+  from mulan_tpu.models.layers import num_groups_for
+  from mulan_tpu.ops.groupnorm_swish import fused_gn_swish
+  r1, r2, r3 = jax.random.split(rng, 3)
+  shape = (2, 4, 8, 64)
+  x = 2.0 * jax.random.normal(r1, shape)
+  scale = 1.0 + 0.1 * jax.random.normal(r2, (shape[-1],))
+  bias = 0.1 * jax.random.normal(r3, (shape[-1],))
+  g = num_groups_for(shape[-1])
+
+  def loss_flax(x, s, b):
+    return jnp.sum(jnp.square(_gn_swish_flax(x, s, b, jnp.float32)))
+
+  def loss_fused(x, s, b):
+    return jnp.sum(jnp.square(fused_gn_swish(x, s, b, g, 1e-6, True)))
+
+  want = jax.grad(loss_flax, argnums=(0, 1, 2))(x, scale, bias)
+  got = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+  for w, gg, name in zip(want, got, ('x', 'scale', 'bias')):
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(w), rtol=1e-4,
+                               atol=1e-5, err_msg=f'grad wrt {name}')
+
+
+def test_unet_fused_gn_flag_matches_and_keeps_param_paths(tiny_config, rng):
+  """The model-level flag: identical param tree (checkpoint compatibility)
+  and matching ELBO with fused_gn_swish on/off (interpret mode on CPU)."""
+  from mulan_tpu.models import build_model
+  cfg_x = dataclasses.replace(tiny_config, sm_pdrop=0.0)
+  cfg_f = dataclasses.replace(tiny_config, sm_pdrop=0.0,
+                              fused_gn_swish=True)
+  m_x = build_model('mulan_epsilon', cfg_x)
+  m_f = build_model('mulan_epsilon', cfg_f)
+  images = jax.random.randint(rng, (4, 8, 8, 3), 0, 256).astype('uint8')
+  labels = jnp.zeros((4,), 'int32')
+  cond = jnp.zeros((4,))
+  r1, r2 = jax.random.split(rng)
+  params = m_x.init({'params': r1, 'sample': r2}, images, labels, cond,
+                    step=-1.0)
+  params_f = m_f.init({'params': r1, 'sample': r2}, images, labels, cond,
+                      step=-1.0)
+  assert (jax.tree_util.tree_structure(params)
+          == jax.tree_util.tree_structure(params_f))
+  o_x = m_x.apply(params, images, labels, cond, step=0.0,
+                  rngs={'sample': r2}, deterministic=True)
+  o_f = m_f.apply(params, images, labels, cond, step=0.0,
+                  rngs={'sample': r2}, deterministic=True)
+  np.testing.assert_allclose(np.asarray(o_f.loss_diff),
+                             np.asarray(o_x.loss_diff), rtol=1e-5,
+                             atol=1e-5)

@@ -54,6 +54,8 @@ def capture(args) -> str:
     config.model.gamma_precision = 'high'
   if args.mask_batch:
     config.model.dropout_mask_batch = True
+  if args.fused_gn:
+    config.model.fused_gn_swish = True
   if args.fsdp > 1:
     config.training.fsdp = args.fsdp
   if args.tp > 1:
@@ -182,6 +184,7 @@ def main():
   parser.add_argument('--imagenet32', action='store_true')
   parser.add_argument('--gamma_high', action='store_true')
   parser.add_argument('--mask_batch', action='store_true')
+  parser.add_argument('--fused_gn', action='store_true')
   parser.add_argument('--fsdp', type=int, default=1)
   parser.add_argument('--tp', type=int, default=1)
   parser.add_argument('--parse_only', default='',
