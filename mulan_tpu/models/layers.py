@@ -291,9 +291,14 @@ class AttnBlock(nn.Module):
           block_q_major_dkv=blk, block_k_major_dkv=kmaj, block_k_dkv=blk,
           block_q_dkv=blk, block_k_major_dq=kmaj, block_k_dq=blk,
           block_q_dq=blk)
-      out = fa.flash_attention(
+      # ops/flash_bwd.py: stock forward kernel, broadcast-free backward —
+      # the stock VJP materializes m/l/di broadcast to 128 lanes (6 x 64 MB
+      # HBM round-trips per block bwd at flagship shapes; profiled as 14%
+      # of busy time on the with_attention UNet, docs/PERF.md round 5).
+      from mulan_tpu.ops.flash_bwd import flash_attention as slim_flash
+      out = slim_flash(
           q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-          v.transpose(0, 2, 1, 3), sm_scale=scale, block_sizes=sizes)
+          v.transpose(0, 2, 1, 3), scale, sizes)
       out = out.transpose(0, 2, 1, 3).astype(self.dtype)
     else:
       logits = jnp.einsum('bqhd,bkhd->bhqk', q.astype(jnp.float32) * scale,

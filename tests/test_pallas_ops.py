@@ -177,3 +177,87 @@ def test_unet_fused_gn_flag_matches_and_keeps_param_paths(tiny_config, rng):
   np.testing.assert_allclose(np.asarray(o_f.loss_diff),
                              np.asarray(o_x.loss_diff), rtol=1e-5,
                              atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-free flash-attention backward (ops/flash_bwd.py)
+# ---------------------------------------------------------------------------
+
+def _ref_attention_with_stats(q, k, v, scale):
+  """Reference attention + the (l, m) softmax statistics the flash forward
+  saves (library semantics: m = row max of scaled logits, l = sum of
+  exp(logits - m), o = (p / l) @ v)."""
+  logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
+                      k.astype(jnp.float32)) * scale
+  m = jnp.max(logits, axis=-1)
+  p = jnp.exp(logits - m[..., None])
+  l = jnp.sum(p, axis=-1)
+  o = jnp.einsum('bhqk,bhkd->bhqd', p / l[..., None],
+                 v.astype(jnp.float32))
+  return o, l, m
+
+
+def test_flash_bwd_slim_kernels_match_autodiff(rng):
+  """The dkv/dq kernels (statistics passed as (B,H,T,1), lane-broadcast in
+  VMEM) must reproduce jax.grad of reference attention (interpret mode)."""
+  from mulan_tpu.ops.flash_bwd import _bwd_dkv, _bwd_dq
+  b, h, t, d = 2, 1, 256, 128
+  scale = 1.0 / np.sqrt(d)
+  r1, r2, r3, r4 = jax.random.split(rng, 4)
+  q = jax.random.normal(r1, (b, h, t, d))
+  k = jax.random.normal(r2, (b, h, t, d))
+  v = jax.random.normal(r3, (b, h, t, d))
+  do = jax.random.normal(r4, (b, h, t, d))
+
+  def loss(q, k, v):
+    o, _, _ = _ref_attention_with_stats(q, k, v, scale)
+    return jnp.sum(o * do)
+
+  dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+  o, l, m = _ref_attention_with_stats(q, k, v, scale)
+  di = jnp.sum(o * do.astype(jnp.float32), axis=-1)
+  l4, m4, di4 = l[..., None], m[..., None], di[..., None]
+  kw = dict(block_q_major=128, block_k_major=128, block_k=128,
+            sm_scale=scale, interpret=True)
+  dk, dv = _bwd_dkv(q, k, v, l4, m4, do, di4, block_q=128, **kw)
+  dq = _bwd_dq(q, k, v, l4, m4, do, di4, **kw)
+  np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=1e-4,
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=1e-4,
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4,
+                             atol=1e-4)
+
+
+def test_flash_bwd_slim_subblocks_match_autodiff(rng):
+  """Same, with minor blocks smaller than majors (the fori_loop paths)."""
+  from mulan_tpu.ops.flash_bwd import _bwd_dkv, _bwd_dq
+  b, h, t, d = 1, 2, 512, 128
+  scale = 0.17
+  r1, r2, r3, r4 = jax.random.split(rng, 4)
+  q = jax.random.normal(r1, (b, h, t, d))
+  k = jax.random.normal(r2, (b, h, t, d))
+  v = jax.random.normal(r3, (b, h, t, d))
+  do = jax.random.normal(r4, (b, h, t, d))
+
+  def loss(q, k, v):
+    o, _, _ = _ref_attention_with_stats(q, k, v, scale)
+    return jnp.sum(o * do)
+
+  dq_ref, dk_ref, dv_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+  o, l, m = _ref_attention_with_stats(q, k, v, scale)
+  di = jnp.sum(o * do.astype(jnp.float32), axis=-1)
+  l4, m4, di4 = l[..., None], m[..., None], di[..., None]
+  dk, dv = _bwd_dkv(q, k, v, l4, m4, do, di4, block_q_major=256, block_q=128,
+                    block_k_major=512, block_k=128, sm_scale=scale,
+                    interpret=True)
+  dq = _bwd_dq(q, k, v, l4, m4, do, di4, block_q_major=128,
+               block_k_major=512, block_k=256, sm_scale=scale,
+               interpret=True)
+  np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), rtol=1e-4,
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=1e-4,
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4,
+                             atol=1e-4)

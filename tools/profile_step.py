@@ -46,6 +46,11 @@ def capture(args) -> str:
   config.training.batch_size_eval = batch
   if args.attention:
     config.model.with_attention = True
+    # 66 attention blocks' flash residuals exceed HBM at batch 128 without
+    # rematerialization; 'attn' is the measured-best policy (docs/PERF.md).
+    config.model.remat = args.remat or 'attn'
+  elif args.remat:
+    config.model.remat = args.remat
   if args.ldm:
     config.model.unet_type = 'ldm'
   if args.stacked:
@@ -179,6 +184,8 @@ def main():
   parser.add_argument('--substeps', type=int, default=10)
   parser.add_argument('--logdir', default='/tmp/mulan_prof')
   parser.add_argument('--attention', action='store_true')
+  parser.add_argument('--remat', default='',
+                      choices=['', 'none', 'all', 'attn', 'alt'])
   parser.add_argument('--ldm', action='store_true')
   parser.add_argument('--stacked', action='store_true')
   parser.add_argument('--imagenet32', action='store_true')
