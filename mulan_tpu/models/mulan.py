@@ -20,9 +20,12 @@ ELBO structure (reference model_mulan_epsilon.py:280-363):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from flax import linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from mulan_tpu.models import encdec as encdec_lib
 from mulan_tpu.models import latents
@@ -37,12 +40,16 @@ from mulan_tpu.models.vdm import sample_times
 class MuLAN(nn.Module):
   config: ModelConfig
   parameterization: str = 'epsilon'  # 'epsilon' | 'velocity'
+  # Tensor-parallel mesh for activation pinning (see parallel/mesh.py);
+  # None (every builder outside Experiment) keeps the model mesh-agnostic.
+  tensor_mesh: Optional[Mesh] = None
 
   def setup(self):
     cfg = self.config
     assert self.parameterization in ('epsilon', 'velocity')
     self.encdec = encdec_lib.EncDec(cfg)
-    self.score_model = UNet(cfg, per_pixel_gamma=(cfg.unet_type == 'ldm'))
+    self.score_model = UNet(cfg, per_pixel_gamma=(cfg.unet_type == 'ldm'),
+                            tensor_mesh=self.tensor_mesh)
     if cfg.latent_type in ('gumbel', 'topk'):
       self.encoder_model = ENCODERS[cfg.encoder](cfg)
     elif cfg.latent_type == 'gaussian':

@@ -21,8 +21,11 @@ and the conditioning-embedding trigonometry stay float32. Optional
 
 from __future__ import annotations
 
+from typing import Optional
+
 from flax import linen as nn
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from mulan_tpu.models.config import ModelConfig
 from mulan_tpu.models.layers import (AttnBlock, GroupNormF32, ResnetBlock,
@@ -35,6 +38,9 @@ class UNet(nn.Module):
   config: ModelConfig
   per_pixel_gamma: bool = False
   n_layer: int = -1  # -1 => config.sm_n_layer
+  # Tensor-parallel mesh: when set (by Experiment, via build_model), block
+  # activations pin their channel axis to its 'tensor' axis; None = identity.
+  tensor_mesh: Optional[Mesh] = None
 
   @nn.compact
   def __call__(self, z, g_t, conditioning, deterministic: bool = True):
@@ -118,20 +124,20 @@ class UNet(nn.Module):
               name=name)(h, cond, deterministic, mask)
       # Under tensor parallelism, pin the channel-sharded layout that the
       # column-parallel conv kernels produce (identity on tp=1 meshes).
-      return constrain_activation_channels(h)
+      return constrain_activation_channels(h, self.tensor_mesh)
 
     for i in range(n_layers):
       h = res_block(f'down_block_{i}', hs[-1], out_ch=n_embd)
       if cfg.with_attention:
         h = constrain_activation_channels(
             attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
-                     name=f'down_attn_{i}')(h))
+                     name=f'down_attn_{i}')(h), self.tensor_mesh)
       hs.append(h)
 
     h = res_block('mid_block_1', hs[-1])
     h = constrain_activation_channels(
         attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
-                 name='mid_attn_1')(h))
+                 name='mid_attn_1')(h), self.tensor_mesh)
     h = res_block('mid_block_2', h)
 
     for i in range(n_layers + 1):
@@ -140,7 +146,7 @@ class UNet(nn.Module):
       if cfg.with_attention:
         h = constrain_activation_channels(
             attn_cls(dtype=dtype, use_pallas=cfg.use_pallas,
-                     name=f'up_attn_{i}')(h))
+                     name=f'up_attn_{i}')(h), self.tensor_mesh)
     assert not hs
     if masks is not None:
       assert block_idx[0] == masks.shape[0], (block_idx[0], masks.shape)

@@ -10,9 +10,12 @@ jvp at the loss site.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from flax import linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from mulan_tpu.models import encdec as encdec_lib
 from mulan_tpu.models.config import ModelConfig
@@ -35,11 +38,14 @@ def sample_times(rng, n: int, antithetic: bool) -> jax.Array:
 
 class VDM(nn.Module):
   config: ModelConfig
+  # Tensor-parallel mesh for activation pinning (see parallel/mesh.py).
+  tensor_mesh: Optional[Mesh] = None
 
   def setup(self):
     cfg = self.config
     self.encdec = encdec_lib.EncDec(cfg)
-    self.score_model = UNet(cfg, per_pixel_gamma=False)
+    self.score_model = UNet(cfg, per_pixel_gamma=False,
+                            tensor_mesh=self.tensor_mesh)
     if cfg.gamma_type not in SCALAR_SCHEDULES:
       raise ValueError(f'unknown scalar gamma_type: {cfg.gamma_type!r}')
     self.gamma = SCALAR_SCHEDULES[cfg.gamma_type](cfg)

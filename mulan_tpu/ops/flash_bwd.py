@@ -32,7 +32,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
-TRANS_B = (((3,), (3,)), ((0, 1), (0, 1)))  # unused; kept for clarity
+# fa._flash_attention is a private API; this module depends on its argument
+# order and on its residuals being (l=sum exp(logits-m), m=row max) in
+# (B, H, T) layout. Fail loudly at import on signature drift rather than
+# producing silently wrong gradients after a jax upgrade (semantics drift is
+# additionally pinned by tests/test_pallas_ops.py's interpret-mode grads and,
+# on TPU, by the skipif-gated end-to-end grad test).
+import inspect as _inspect
+_STOCK_PARAMS = ('q', 'k', 'v', 'ab', 'segment_ids', 'save_residuals',
+                 'causal', 'sm_scale', 'block_sizes', 'debug')
+if tuple(_inspect.signature(fa._flash_attention).parameters) != _STOCK_PARAMS:
+  raise ImportError(
+      'jax.experimental.pallas.ops.tpu.flash_attention._flash_attention '
+      'changed signature; re-verify the residual contract in '
+      'mulan_tpu/ops/flash_bwd.py before use.')
+
+
+def _verify_blocks(q_seq_len, kv_seq_len, *, block_q_major=None, block_q=None,
+                   block_k_major=None, block_k=None):
+  """Reject non-dividing block sizes (the stock kernels' _verify_block).
+
+  The slim kernels size their grids with floor division and fire the final
+  store at `seq_len // block_major - 1`; a non-dividing block size would
+  silently truncate the grid and leave output rows unwritten.
+  """
+  for name, block, dim_name, dim in (
+      ('block_q_major', block_q_major, 'q_seq_len', q_seq_len),
+      ('block_q', block_q, 'q_seq_len', q_seq_len),
+      ('block_k_major', block_k_major, 'kv_seq_len', kv_seq_len),
+      ('block_k', block_k, 'kv_seq_len', kv_seq_len)):
+    if block is None:
+      continue
+    if block > dim:
+      raise ValueError(f'{name}={block} must be <= {dim_name}={dim}')
+    if dim % block != 0:
+      raise ValueError(f'{dim_name}={dim} must be divisible by {name}={block}')
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, l_ref, m_ref, do_ref, di_ref,
@@ -133,6 +167,9 @@ def _bwd_dkv(q, k, v, l, m, do, di, *, block_q_major, block_q,
              block_k_major, block_k, sm_scale, interpret=False):
   batch_size, num_heads, q_seq_len, head_dim = q.shape
   kv_seq_len = k.shape[2]
+  _verify_blocks(q_seq_len, kv_seq_len, block_q_major=block_q_major,
+                 block_q=block_q, block_k_major=block_k_major,
+                 block_k=block_k)
   grid = (batch_size, num_heads, kv_seq_len // block_k_major,
           q_seq_len // block_q_major)
 
@@ -182,6 +219,8 @@ def _bwd_dq(q, k, v, l, m, do, di, *, block_q_major, block_k_major, block_k,
             sm_scale, interpret=False):
   batch_size, num_heads, q_seq_len, head_dim = q.shape
   kv_seq_len = k.shape[2]
+  _verify_blocks(q_seq_len, kv_seq_len, block_q_major=block_q_major,
+                 block_k_major=block_k_major, block_k=block_k)
   grid = (batch_size, num_heads, q_seq_len // block_q_major,
           kv_seq_len // block_k_major)
 
@@ -217,26 +256,48 @@ def _bwd_dq(q, k, v, l, m, do, di, *, block_q_major, block_k_major, block_k,
     )(q, k, v, l, m, do, di)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention(q, k, v, sm_scale: float, block_sizes: fa.BlockSizes):
-  """Bidirectional single/multi-head flash attention, (B, H, T, D) layout.
+def _reference_fwd(q, k, v, sm_scale):
+  """Pure-JAX forward with the STOCK kernel's residual semantics.
 
-  Forward: the stock Pallas kernel. Backward: the broadcast-free dkv/dq
-  kernels above. No causal masking / attention bias / segment ids (the
-  UNet's spatial self-attention needs none).
+  Returns (o, l, m) where m is the f32 row-max of the scaled logits and
+  l = sum(exp(logits - m)) — the exact quantities the stock Pallas forward
+  stores when save_residuals=True (flash_attention.py `_flash_attention_impl`:
+  the lane-0 slice of its l/m outputs). Used for interpret/CPU runs so the
+  composed custom_vjp (residual threading, di computation, slim backward
+  kernels) is testable off-TPU.
   """
-  o, _, _ = fa._flash_attention(q, k, v, None, None, True, False, sm_scale,
-                                block_sizes, False)
-  return o
+  logits = jnp.einsum('bhqd,bhkd->bhqk', q.astype(jnp.float32),
+                      k.astype(jnp.float32))
+  if sm_scale != 1.0:
+    logits *= sm_scale
+  m = jnp.max(logits, axis=-1)
+  unnorm = jnp.exp(logits - m[..., None])
+  l = jnp.sum(unnorm, axis=-1)
+  o = jnp.einsum('bhqk,bhkd->bhqd', (unnorm / l[..., None]).astype(v.dtype), v)
+  return o.astype(q.dtype), l, m
 
 
-def _fwd(q, k, v, sm_scale, block_sizes):
-  o, l, m = fa._flash_attention(q, k, v, None, None, True, False, sm_scale,
-                                block_sizes, False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_attention(q, k, v, sm_scale, block_sizes, interpret):
+  if interpret:
+    o, _, _ = _reference_fwd(q, k, v, sm_scale)
+    return o
+  # save_residuals=False: the primal (eval/sampling, no AD) must not
+  # materialize the l/m stat buffers — only _fwd (the AD path) needs them.
+  return fa._flash_attention(q, k, v, None, None, False, False, sm_scale,
+                             block_sizes, False)
+
+
+def _fwd(q, k, v, sm_scale, block_sizes, interpret):
+  if interpret:
+    o, l, m = _reference_fwd(q, k, v, sm_scale)
+  else:
+    o, l, m = fa._flash_attention(q, k, v, None, None, True, False, sm_scale,
+                                  block_sizes, False)
   return o, (q, k, v, o, l, m)
 
 
-def _bwd(sm_scale, block_sizes, res, do):
+def _bwd(sm_scale, block_sizes, interpret, res, do):
   q, k, v, o, l, m = res
   di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
   # (B, H, T) -> (B, H, T, 1): reshapes, not materialized broadcasts.
@@ -247,12 +308,28 @@ def _bwd(sm_scale, block_sizes, res, do):
                     block_q_major=block_sizes.block_q_major_dkv,
                     block_q=block_sizes.block_q_dkv,
                     block_k_major=block_sizes.block_k_major_dkv,
-                    block_k=block_sizes.block_k_dkv, sm_scale=sm_scale)
+                    block_k=block_sizes.block_k_dkv, sm_scale=sm_scale,
+                    interpret=interpret)
   dq = _bwd_dq(q, k, v, l4, m4, do, di4,
                block_q_major=block_sizes.block_q_dq,
                block_k_major=block_sizes.block_k_major_dq,
-               block_k=block_sizes.block_k_dq, sm_scale=sm_scale)
+               block_k=block_sizes.block_k_dq, sm_scale=sm_scale,
+               interpret=interpret)
   return dq, dk, dv
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(q, k, v, sm_scale: float, block_sizes: fa.BlockSizes,
+                    interpret: bool = False):
+  """Bidirectional single/multi-head flash attention, (B, H, T, D) layout.
+
+  Forward: the stock Pallas kernel (residuals saved only under AD).
+  Backward: the broadcast-free dkv/dq kernels above. No causal masking /
+  attention bias / segment ids (the UNet's spatial self-attention needs
+  none). interpret=True runs a pure-JAX forward with stock residual
+  semantics plus the slim backward kernels in Pallas interpret mode, so the
+  composed op is testable on CPU.
+  """
+  return _flash_attention(q, k, v, sm_scale, block_sizes, interpret)

@@ -115,33 +115,29 @@ fsdp_sharding = param_sharding
 # Column-parallel parameter placement alone leaves GSPMD free to re-replicate
 # activations between layers (all-gather after every conv), silently
 # degenerating tp>1 to replicated compute. The UNet calls
-# `constrain_activation_channels` on every block output; when a mesh with a
-# 'tensor' axis is installed here, that inserts a with_sharding_constraint
+# `constrain_activation_channels(h, self.tensor_mesh)` on every block output;
+# with a mesh carrying a 'tensor' axis that inserts a with_sharding_constraint
 # pinning the channel (last) axis to 'tensor', so the channel-sharded layout
-# survives the whole UNet. With no mesh installed (the default, and any mesh
-# without a 'tensor' axis) it is an identity — model code stays mesh-agnostic.
+# survives the whole UNet. With mesh=None (the default for every builder
+# outside Experiment) or a mesh without a 'tensor' axis it is an identity.
 #
-# Process-global by design: the constraint must be visible at TRACE time
-# inside arbitrarily nested jits (train scan, eval, sampler fori_loop), where
-# threading an argument through flax module signatures would leak parallelism
-# policy into model code. Experiments install their mesh at __init__; building
-# two live Experiments on DIFFERENT tp meshes in one process is unsupported
-# (the last installed mesh wins at the next trace).
-_ACTIVATION_MESH: Optional[Mesh] = None
+# The mesh rides as a per-model flax attribute (build_model(..., tensor_mesh=)
+# -> UNet.tensor_mesh), NOT process-global state: each Experiment's lazily
+# traced jits (train scan, eval, sampler fori_loop) close over their own
+# model instance, so constructing several Experiments on different meshes in
+# one process cannot clobber each other's constraints at trace time.
 
 
-def set_activation_mesh(mesh: Optional[Mesh]) -> None:
-  global _ACTIVATION_MESH
+def tensor_mesh_or_none(mesh: Optional[Mesh]) -> Optional[Mesh]:
+  """The mesh if it has a 'tensor' axis, else None (identity constraints)."""
   if mesh is not None and TENSOR_AXIS in mesh.axis_names:
-    _ACTIVATION_MESH = mesh
-  else:
-    _ACTIVATION_MESH = None
+    return mesh
+  return None
 
 
-def constrain_activation_channels(x):
+def constrain_activation_channels(x, mesh: Optional[Mesh]):
   """Pin the last (channel/feature) axis of an activation to 'tensor'."""
-  mesh = _ACTIVATION_MESH
-  if mesh is None:
+  if mesh is None or TENSOR_AXIS not in mesh.axis_names:
     return x
   tp = mesh.shape[TENSOR_AXIS]
   if x.ndim == 0 or x.shape[-1] % tp != 0:

@@ -70,6 +70,11 @@ class CheckpointManager:
       step = self.latest_step()
     assert step is not None, f'no checkpoint found in {self._dir}'
     path = os.path.join(self._dir, f'ckpt_{step}', 'default')
+    # The step directory layout is pinned by __init__'s step_prefix='ckpt';
+    # fail loudly if orbax's on-disk naming ever drifts from it, rather than
+    # silently taking the topology-bound fallback below.
+    assert os.path.isdir(path), (
+        f'checkpoint step dir missing: {path} (orbax layout drift?)')
     try:
       import numpy as np
       ckptr = ocp.PyTreeCheckpointer()
@@ -79,7 +84,12 @@ class CheckpointManager:
           meta_tree)
       return ckptr.restore(
           path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
-    except Exception:  # non-pytree/legacy layout: the topology-bound path
+    except (FileNotFoundError, ValueError, KeyError):
+      # Non-pytree/legacy layout: the topology-bound path. Deliberately
+      # NARROW — AttributeError/TypeError from orbax API drift must
+      # propagate, or cross-topology restores would silently regress to
+      # StandardRestore (which re-binds the SAVED mesh and crashes when the
+      # eval topology differs from training).
       logging.warning('restore_dict: numpy restore failed for %s; falling '
                       'back to StandardRestore with saved shardings', path,
                       exc_info=True)

@@ -48,13 +48,13 @@ class Experiment:
       mesh = mesh_lib.create_mesh(fsdp=config.training.get('fsdp', 1),
                                   tp=config.training.get('tp', 1))
     self.mesh = mesh
-    # With a 'tensor' mesh axis, UNet block activations pin their channel
-    # axis to it (parallel/mesh.py constrain_activation_channels); identity
-    # otherwise. Installed process-globally so nested jits see it at trace
-    # time.
-    mesh_lib.set_activation_mesh(mesh)
     self.model_config = model_config_from_dict(dict(config.model))
-    self.model = build_model(config.vdm_type, self.model_config)
+    # With a 'tensor' mesh axis, UNet block activations pin their channel
+    # axis to it (parallel/mesh.py constrain_activation_channels); the mesh
+    # rides on the model instance so several Experiments on different meshes
+    # coexist in one process without clobbering each other's traces.
+    self.model = build_model(config.vdm_type, self.model_config,
+                             tensor_mesh=mesh_lib.tensor_mesh_or_none(mesh))
 
     seed = config.training.seed
     self.rng = jax.random.PRNGKey(seed)

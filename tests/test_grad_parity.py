@@ -32,6 +32,8 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from parity_helpers import frozen_randomness
+
 CFG_KW = dict(
     vocab_size=256, antithetic_time_sampling=True,
     with_fourier_features=True, with_attention=False,
@@ -42,35 +44,6 @@ CFG_KW = dict(
     encoder='unet', condition='input', unet_type='vdm')
 
 
-def _shape_seed(shape) -> int:
-  seed = 987654321
-  for dim in shape:
-    seed = (seed * 1000003 + int(dim) + 7) % (2 ** 31 - 1)
-  return seed
-
-
-def _frozen_randomness(monkeypatch):
-  """Patch jax.random.{uniform,normal,gamma} with shape-seeded constants."""
-
-  def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0):
-    del key
-    return jnp.full(shape, 0.375, dtype) * (maxval - minval) + minval
-
-  def fake_normal(key, shape=(), dtype=jnp.float32):
-    del key
-    rs = np.random.RandomState(_shape_seed(shape))
-    return jnp.asarray(rs.standard_normal(shape), dtype)
-
-  def fake_gamma(key, a, shape=None, dtype=jnp.float32):
-    del key
-    if shape is None:
-      shape = np.shape(a)
-    rs = np.random.RandomState(_shape_seed(shape) ^ 0x5A5A5A)
-    return jnp.asarray(rs.gamma(float(a), 1.0, size=shape), dtype)
-
-  monkeypatch.setattr(jax.random, 'uniform', fake_uniform)
-  monkeypatch.setattr(jax.random, 'normal', fake_normal)
-  monkeypatch.setattr(jax.random, 'gamma', fake_gamma)
 
 
 def _build(parameterization: str):
@@ -100,7 +73,7 @@ def _build(parameterization: str):
 @pytest.mark.parametrize('parameterization', ['epsilon', 'velocity'])
 def test_elbo_gradients_match(monkeypatch, parameterization):
   ref_model, ref_params, ours, params, = _build(parameterization)
-  _frozen_randomness(monkeypatch)
+  frozen_randomness(monkeypatch)
   from mulan_tpu.compat import convert_params
 
   batch = 4

@@ -230,6 +230,53 @@ def test_flash_bwd_slim_kernels_match_autodiff(rng):
                              atol=1e-4)
 
 
+def test_flash_composed_custom_vjp_interpret(rng):
+  """jax.grad through the COMPOSED flash_attention custom_vjp (residual
+  threading, di computation, slim kernels) in interpret mode must match the
+  einsum path — the end-to-end CPU pin CLAUDE.md requires of Pallas ops."""
+  from jax.experimental.pallas.ops.tpu import flash_attention as fa
+  from mulan_tpu.ops.flash_bwd import flash_attention
+  b, h, t, d = 2, 1, 256, 128
+  scale = 1.0 / np.sqrt(d)
+  r1, r2, r3, r4 = jax.random.split(rng, 4)
+  q = jax.random.normal(r1, (b, h, t, d))
+  k = jax.random.normal(r2, (b, h, t, d))
+  v = jax.random.normal(r3, (b, h, t, d))
+  do = jax.random.normal(r4, (b, h, t, d))
+  sizes = fa.BlockSizes(
+      block_q=128, block_k_major=256, block_k=128, block_b=1,
+      block_q_major_dkv=128, block_k_major_dkv=256, block_k_dkv=128,
+      block_q_dkv=128, block_k_major_dq=256, block_k_dq=128, block_q_dq=128)
+
+  def loss_flash(q, k, v):
+    return jnp.sum(flash_attention(q, k, v, scale, sizes, interpret=True) * do)
+
+  def loss_ref(q, k, v):
+    o, _, _ = _ref_attention_with_stats(q, k, v, scale)
+    return jnp.sum(o * do)
+
+  o = flash_attention(q, k, v, scale, sizes, interpret=True)
+  o_ref, _, _ = _ref_attention_with_stats(q, k, v, scale)
+  np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref), rtol=1e-5,
+                             atol=1e-5)
+  grads = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+  grads_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+  for g, g_ref in zip(grads, grads_ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_flash_bwd_rejects_non_dividing_blocks(rng):
+  """Non-dividing block sizes must raise, not silently truncate the grid."""
+  from mulan_tpu.ops.flash_bwd import _bwd_dkv
+  b, h, t, d = 1, 1, 384, 128
+  q = jnp.zeros((b, h, t, d))
+  stats = jnp.zeros((b, h, t, 1))
+  with pytest.raises(ValueError, match='divisible'):
+    _bwd_dkv(q, q, q, stats, stats, q, stats, block_q_major=256, block_q=128,
+             block_k_major=256, block_k=128, sm_scale=1.0, interpret=True)
+
+
 def test_flash_bwd_slim_subblocks_match_autodiff(rng):
   """Same, with minor blocks smaller than majors (the fori_loop paths)."""
   from mulan_tpu.ops.flash_bwd import _bwd_dkv, _bwd_dq

@@ -34,6 +34,8 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from parity_helpers import frozen_randomness
+
 N_STEPS = 12
 WARMUP = 8           # lr varies across most steps: 0 -> LR linearly
 LR = 2e-3            # larger than the shipped 2e-4: drift must show
@@ -50,36 +52,6 @@ CFG_KW = dict(
     encoder='unet', condition='input', unet_type='vdm')
 
 
-def _shape_seed(shape) -> int:
-  seed = 987654321
-  for dim in shape:
-    seed = (seed * 1000003 + int(dim) + 7) % (2 ** 31 - 1)
-  return seed
-
-
-def _frozen_randomness(monkeypatch):
-  """Shape-seeded deterministic draws (tests/test_grad_parity.py): both
-  implementations see identical t/noise/Gamma tensors at every step."""
-
-  def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0):
-    del key
-    return jnp.full(shape, 0.375, dtype) * (maxval - minval) + minval
-
-  def fake_normal(key, shape=(), dtype=jnp.float32):
-    del key
-    rs = np.random.RandomState(_shape_seed(shape))
-    return jnp.asarray(rs.standard_normal(shape), dtype)
-
-  def fake_gamma(key, a, shape=None, dtype=jnp.float32):
-    del key
-    if shape is None:
-      shape = np.shape(a)
-    rs = np.random.RandomState(_shape_seed(shape) ^ 0x5A5A5A)
-    return jnp.asarray(rs.gamma(float(a), 1.0, size=shape), dtype)
-
-  monkeypatch.setattr(jax.random, 'uniform', fake_uniform)
-  monkeypatch.setattr(jax.random, 'normal', fake_normal)
-  monkeypatch.setattr(jax.random, 'gamma', fake_gamma)
 
 
 def _assert_grads_close(ours, ref_mapped, *, step):
@@ -196,7 +168,7 @@ def test_training_trajectories_match(monkeypatch):
   monkeypatch.setattr(jax, 'tree_map', jax.tree.map, raising=False)
 
   # --- identical data + frozen randomness ---------------------------------
-  _frozen_randomness(monkeypatch)
+  frozen_randomness(monkeypatch)
   batch = 4
   rs = np.random.RandomState(11)
   images = jnp.asarray(rs.randint(0, 256, (batch, 32, 32, 3)), 'uint8')

@@ -25,31 +25,11 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from parity_helpers import frozen_randomness
+
 T_DISCRETE = 10
 
 
-def _shape_seed(shape) -> int:
-  seed = 987654321
-  for dim in shape:
-    seed = (seed * 1000003 + int(dim) + 7) % (2 ** 31 - 1)
-  return seed
-
-
-def _frozen_randomness(monkeypatch):
-  """Patch jax.random.{uniform,normal} with shape-seeded constants so both
-  implementations draw identical tensors (tests/test_grad_parity.py)."""
-
-  def fake_uniform(key, shape=(), dtype=jnp.float32, minval=0.0, maxval=1.0):
-    del key
-    return jnp.full(shape, 0.375, dtype) * (maxval - minval) + minval
-
-  def fake_normal(key, shape=(), dtype=jnp.float32):
-    del key
-    rs = np.random.RandomState(_shape_seed(shape))
-    return jnp.asarray(rs.standard_normal(shape), dtype)
-
-  monkeypatch.setattr(jax.random, 'uniform', fake_uniform)
-  monkeypatch.setattr(jax.random, 'normal', fake_normal)
 
 CFG_KW = dict(
     vocab_size=256, antithetic_time_sampling=True,
@@ -84,7 +64,7 @@ def _build(reparam_type: str):
 @pytest.mark.parametrize('reparam_type', ['noise', 'input'])
 def test_discrete_elbo_terms_match_reference(monkeypatch, reparam_type):
   ref_model, ref_params, ours, params = _build(reparam_type)
-  _frozen_randomness(monkeypatch)
+  frozen_randomness(monkeypatch)
 
   batch = 4
   rs = np.random.RandomState(17)
@@ -116,7 +96,7 @@ def test_input_weighting_differs_from_noise(monkeypatch):
   and randomness."""
   _, _, ours_noise, params = _build('noise')
   _, _, ours_input, _ = _build('input')
-  _frozen_randomness(monkeypatch)
+  frozen_randomness(monkeypatch)
   batch = 4
   rs = np.random.RandomState(17)
   images = jnp.asarray(rs.randint(0, 256, (batch, 32, 32, 3)), 'uint8')
@@ -137,7 +117,7 @@ def test_ancestral_step_matches_reference(monkeypatch, reparam_type):
   """One ancestral step incl. the 'input' x-hat -> eps-hat conversion
   (model_vdm.py:191-209)."""
   ref_model, ref_params, ours, params = _build(reparam_type)
-  _frozen_randomness(monkeypatch)
+  frozen_randomness(monkeypatch)
 
   batch = 2
   z_t = jnp.asarray(np.random.RandomState(3).standard_normal(
