@@ -35,7 +35,8 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE),
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-import test_grad_parity as gp  # noqa: E402  (frozen rng + transplant helpers)
+import test_grad_parity as gp  # noqa: E402  (transplant helpers)
+from parity_helpers import frozen_randomness  # noqa: E402
 
 from mulan_tpu.evals import vlb as vlb_mod  # noqa: E402
 from mulan_tpu.parallel import mesh as mesh_lib  # noqa: E402
@@ -86,7 +87,7 @@ def _ref_loss_bpd(ref_model, ref_params, images):
 @pytest.mark.parametrize('parameterization', ['epsilon'])
 def test_sparse_estimator_bpd_parity(monkeypatch, parameterization):
   ref_model, ref_params, ours, params = gp._build(parameterization)
-  gp._frozen_randomness(monkeypatch)
+  frozen_randomness(monkeypatch)
   batches = _fixed_batches(n_batches=2, batch_size=4)
 
   # reference: eval_bpd_sparse_sampling (notebook_utils.py:157-173)
@@ -108,7 +109,7 @@ def test_dense_estimator_bpd_parity(monkeypatch, parameterization):
   identical (t, noise) set, so the BPDs must agree to float tolerance."""
   n_timesteps = 16
   ref_model, ref_params, ours, params = gp._build(parameterization)
-  gp._frozen_randomness(monkeypatch)
+  frozen_randomness(monkeypatch)
   batches = _fixed_batches(n_batches=2, batch_size=1)
 
   # reference: eval_bpd_dense_sampling — tile x n_timesteps, one loss_fn
