@@ -288,9 +288,9 @@ class AttnBlock(nn.Module):
       kmaj = 1024 if t % 1024 == 0 else blk
       sizes = fa.BlockSizes(
           block_q=blk, block_k_major=kmaj, block_k=blk, block_b=1,
-          block_q_major_dkv=blk, block_k_major_dkv=kmaj, block_k_dkv=blk,
+          block_q_major_dkv=kmaj, block_k_major_dkv=kmaj, block_k_dkv=blk,
           block_q_dkv=blk, block_k_major_dq=kmaj, block_k_dq=blk,
-          block_q_dq=blk)
+          block_q_dq=kmaj)
       # ops/flash_bwd.py: stock forward kernel, broadcast-free backward —
       # the stock VJP materializes m/l/di broadcast to 128 lanes (6 x 64 MB
       # HBM round-trips per block bwd at flagship shapes; profiled as 14%
