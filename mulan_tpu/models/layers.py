@@ -287,7 +287,7 @@ class AttnBlock(nn.Module):
       # blk always divides t because t % 512 == 0 here).
       kmaj = 1024 if t % 1024 == 0 else blk
       sizes = fa.BlockSizes(
-          block_q=blk, block_k_major=kmaj, block_k=blk, block_b=1,
+          block_q=kmaj, block_k_major=kmaj, block_k=blk, block_b=1,
           block_q_major_dkv=kmaj, block_k_major_dkv=kmaj, block_k_dkv=blk,
           block_q_dkv=blk, block_k_major_dq=kmaj, block_k_dq=blk,
           block_q_dq=kmaj)
